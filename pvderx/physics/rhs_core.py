@@ -1,0 +1,267 @@
+"""The PV-DER ODE right-hand side — single source of truth for the physics.
+
+Implements SPEC.md §§4-5 exactly once, parameterized over the array backend
+``xp`` (``jax.numpy`` for the TPU path, ``numpy`` for the scipy oracle), so the
+oracle and the JAX engine provably share the same equations; the oracle then
+differs only in the integrator (LSODA vs fixed-step RK4).
+
+All complex phasors are carried as explicit (re, im) pairs (:class:`C`) —
+**no complex dtypes anywhere**: the TPU backend in this environment does not
+support C64/C128, and real pairs are what XLA would decompose to anyway. This
+keeps the same code f32/bf16-ready for the TPU hot path.
+
+Reference analog: `ODE_model` / `update_*` cascade of the upstream DER models
+(SURVEY.md §2.3, `[pvder:pvder/DER_components_single_phase.py]`,
+`[pvder:pvder/DER_components_three_phase.py]` — unverified upstream paths).
+The upstream mutates object attributes inside the RHS; pvderx is a pure
+function of ``(y, t, params, exog)``.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+TWO_PI_3 = 2.0 * math.pi / 3.0
+
+
+# --------------------------------------------------------------------------
+# complex-pair arithmetic (backend-generic, broadcasts like the underlying xp)
+# --------------------------------------------------------------------------
+class C(NamedTuple):
+    """A complex value/array as an explicit (re, im) pair."""
+
+    re: object
+    im: object
+
+
+def cmul(a: C, b: C) -> C:
+    return C(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
+
+
+def cconj(a: C) -> C:
+    return C(a.re, -a.im)
+
+
+def cadd(a: C, b: C) -> C:
+    return C(a.re + b.re, a.im + b.im)
+
+
+def csub(a: C, b: C) -> C:
+    return C(a.re - b.re, a.im - b.im)
+
+
+def cscale(a: C, s) -> C:
+    """Multiply by a real scalar/array."""
+    return C(a.re * s, a.im * s)
+
+
+def cjmul(a: C) -> C:
+    """Multiply by j."""
+    return C(-a.im, a.re)
+
+
+def cabs(a: C, xp):
+    return xp.sqrt(a.re * a.re + a.im * a.im)
+
+
+def cdiv(a: C, b: C) -> C:
+    d = b.re * b.re + b.im * b.im
+    return C((a.re * b.re + a.im * b.im) / d, (a.im * b.re - a.re * b.im) / d)
+
+
+def cinv(b: C) -> C:
+    d = b.re * b.re + b.im * b.im
+    return C(b.re / d, -b.im / d)
+
+
+def cexpj(phi, xp) -> C:
+    return C(xp.cos(phi), xp.sin(phi))
+
+
+def cmean(a: C, xp) -> C:
+    return C(xp.mean(a.re), xp.mean(a.im))
+
+
+# --------------------------------------------------------------------------
+# state layout (SPEC.md §2)
+# --------------------------------------------------------------------------
+def unpack(y, n_ph: int):
+    """Split the flat state into phasor pairs + scalars."""
+    n = n_ph
+    i = C(y[0 * n:1 * n], y[1 * n:2 * n])
+    x = C(y[2 * n:3 * n], y[3 * n:4 * n])
+    u = C(y[4 * n:5 * n], y[5 * n:6 * n])
+    vdc = y[6 * n + 0]
+    xdc = y[6 * n + 1]
+    xq = y[6 * n + 2]
+    xpll = y[6 * n + 3]
+    theta = y[6 * n + 4]
+    return i, x, u, vdc, xdc, xq, xpll, theta
+
+
+def pack(di: C, dx: C, du: C, dvdc, dxdc, dxq, dxpll, dth, xp):
+    return xp.concatenate([
+        di.re, di.im, dx.re, dx.im, du.re, du.im,
+        xp.stack([dvdc, dxdc, dxq, dxpll, dth]),
+    ])
+
+
+def _shift_angles(n_ph: int, xp, dtype=None):
+    if n_ph == 1:
+        return xp.asarray([0.0], dtype=dtype)
+    return xp.asarray([0.0, -TWO_PI_3, TWO_PI_3], dtype=dtype)
+
+
+# --------------------------------------------------------------------------
+# physics
+# --------------------------------------------------------------------------
+class Algebra(NamedTuple):
+    """Algebraic intermediates of SPEC.md §4 (shared by RHS and observations)."""
+
+    i: C         # [n_ph] filter current phasor (pu)
+    v: C         # [n_ph] PCC voltage (pu)
+    vt: C        # [n_ph] inverter terminal voltage (pu)
+    m: C         # [n_ph] modulation index (saturated)
+    v_pos: C     # positive-sequence PCC voltage
+    i_pos: C     # positive-sequence injected current
+    v_q: object  # PLL q-axis voltage
+    f_meas: object  # measured frequency [pu]
+    p_pv: object    # PV array power [pu total]
+    p_inv: object   # inverter terminal power [pu total]
+    p_pcc: object   # PCC active power [pu total]
+    q_pcc: object   # PCC reactive power [pu total]
+    i_ref: C        # [n_ph] current reference
+    id_ref: object  # d-axis current reference (post-limit)
+    iq_ref: object  # q-axis current reference (post-limit)
+    e_dc: object
+    e_q: object
+    aw: object      # anti-windup gate
+
+
+SAT_K = 16.0     # p-norm softness of magnitude limits (SPEC.md §4)
+AW_KAPPA = 40.0  # anti-windup sigmoid sharpness
+
+
+def soft_limit_scale(mag, lim, xp):
+    """Smooth radial limiter: scale s.t. mag*s -> lim as mag grows.
+
+    s = (1 + (mag/lim)^k)^(-1/k). Smooth (C-inf) so fixed-step RK4 and the
+    adaptive oracle converge to the same trajectory (hard min() kinks leave an
+    O(1e-5) integrator-dependent floor at limit-crossing events).
+    """
+    r = xp.minimum(mag / lim, 8.0)
+    return (1.0 + r ** SAT_K) ** (-1.0 / SAT_K)
+
+
+def aw_gate(mag, lim, xp):
+    """Smooth anti-windup gate: ~1 below the limit, ~0 above."""
+    z = AW_KAPPA * (1.0 - mag / lim)
+    return 1.0 / (1.0 + xp.exp(-xp.minimum(z, 40.0)))
+
+
+def pv_power(vdc, s_irr, t_cell, p, xp):
+    """Single-diode array power, pu of S_rated (SPEC.md §4.8)."""
+    t_ref = 298.15
+    vdc_v = vdc * p.vdc_base
+    iph = (p.isc_ref + p.ki_t * (t_cell - t_ref)) * (s_irr / 1000.0)
+    i_arr = p.np_par * (iph - p.irs * xp.expm1(p.gamma * vdc_v / t_cell))
+    i_arr = xp.maximum(i_arr, 0.0)
+    return i_arr * vdc_v / p.s_rated
+
+
+def algebra(y, t, p, u, xp) -> Algebra:
+    """All algebraic relations of SPEC.md §4."""
+    n_ph = p.n_ph
+    i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
+    a_k = cexpj(_shift_angles(n_ph, xp, y.dtype), xp)
+
+    # grid + PCC algebra (SPEC §4.1-4.3)
+    v_gpos = cscale(cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp), u.v_g)
+    v_g = cmul(v_gpos, a_k)
+    y_g = cinv(C(p.rg, p.xg))
+    y_tot = C(y_g.re + u.g_load, y_g.im + u.b_load)
+    i_inj = cscale(i, u.conn)
+    v = cdiv(cadd(cmul(v_g, y_g), i_inj), y_tot)
+    v_pos = cmean(cmul(v, cconj(a_k)), xp)
+    i_pos = cmean(cmul(i_inj, cconj(a_k)), xp)
+
+    # modulation + terminal voltage (SPEC §4.4-4.5), smooth saturation
+    m_raw = cadd(cscale(uf, p.kp_gcc), x)
+    m_mag = xp.sqrt(m_raw.re * m_raw.re + m_raw.im * m_raw.im + 1e-30)
+    m = cscale(m_raw, soft_limit_scale(m_mag, p.m_max, xp))
+    vdc_pos = xp.maximum(vdc, p.vdc_floor)
+    vt = cscale(m, p.kv * vdc_pos)
+
+    # PLL (SPEC §4.6)
+    v_q = cmul(v_pos, cexpj(-theta, xp)).im
+    f_meas = 1.0 + p.kp_pll * v_q + xpll
+
+    # powers
+    p_inv = xp.mean(cmul(vt, cconj(i)).re)
+    s_pcc = cmul(v, cconj(i_inj))
+    p_pcc = xp.mean(s_pcc.re)
+    q_pcc = xp.mean(s_pcc.im)
+    p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp)
+
+    # outer loops -> current reference (SPEC §4.7)
+    e_dc = vdc - u.vdc_ref
+    id_raw = p.kp_dc * e_dc + xdc
+    e_q = u.q_ref - q_pcc
+    iq_raw = -(p.kp_q * e_q + xq)
+    mag = xp.sqrt(id_raw * id_raw + iq_raw * iq_raw + 1e-30)
+    s_lim = soft_limit_scale(mag, p.i_max, xp)
+    en = u.conn * (1.0 - u.ces)
+    id_ref = id_raw * s_lim
+    iq_ref = iq_raw * s_lim
+    i_ref = cscale(cmul(cmul(C(id_ref, iq_ref), cexpj(theta, xp)), a_k), en)
+    aw = en * aw_gate(mag, p.i_max, xp)
+
+    return Algebra(i=i, v=v, vt=vt, m=m, v_pos=v_pos, i_pos=i_pos, v_q=v_q,
+                   f_meas=f_meas, p_pv=p_pv, p_inv=p_inv, p_pcc=p_pcc,
+                   q_pcc=q_pcc, i_ref=i_ref, id_ref=id_ref, iq_ref=iq_ref,
+                   e_dc=e_dc, e_q=e_q, aw=aw)
+
+
+def rhs(y, t, p, u, xp):
+    """dy/dt per SPEC.md §5. Pure; static shapes; branchless."""
+    n_ph = p.n_ph
+    i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
+    g = algebra(y, t, p, u, xp)
+    en = u.conn * (1.0 - u.ces)
+
+    wb = p.w_base
+    di_conn = csub(cscale(csub(csub(g.vt, g.v), cscale(i, p.rf)), wb / p.lf),
+                   cscale(cjmul(i), wb))
+    di = cadd(cscale(di_conn, u.conn), cscale(i, -(1.0 - u.conn) * wb))
+    du = cscale(csub(csub(g.i_ref, i), uf), p.w_f)
+    dx = cscale(uf, p.ki_gcc * en)
+
+    vdc_pos = xp.maximum(vdc, p.vdc_floor)
+    dvdc = (g.p_pv - u.conn * g.p_inv) / (p.tau_dc * vdc_pos)
+    dxdc = p.ki_dc * g.e_dc * g.aw
+    dxq = p.ki_q * g.e_q * g.aw
+    dxpll = p.ki_pll * g.v_q
+    dth = wb * (p.kp_pll * g.v_q + xpll)
+
+    return pack(di, dx, du, dvdc, dxdc, dxq, dxpll, dth, xp)
+
+
+def steady_state_guess(p, u, xp):
+    """Analytic warm start for the steady-state solve (SPEC.md §7)."""
+    theta = u.phi_g
+    vdc = u.vdc_ref
+    a_k = cexpj(_shift_angles(p.n_ph, xp, getattr(u.phi_g, "dtype", None)), xp)
+    ones = 1.0 + 0.0 * a_k.re
+    v = cscale(cmul(cexpj(u.phi_g, xp), a_k), u.v_g)   # ignore grid impedance drop
+    vmag = xp.maximum(cabs(C(v.re[0], v.im[0]), xp), 1e-6)
+    p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp)
+    id0 = p_pv / vmag
+    iq0 = -u.q_ref / vmag
+    i = cmul(cmul(C(id0, iq0), cexpj(theta, xp)), a_k)
+    vt = cadd(v, cmul(C(p.rf, p.lf), i))
+    m = cscale(vt, 1.0 / (p.kv * xp.maximum(vdc, p.vdc_floor)))
+    x = m
+    uf = C(0.0 * ones, 0.0 * ones)
+    zero = 0.0 * id0
+    tail = xp.stack([vdc + zero, id0 + zero, -iq0 + zero, zero, theta + zero])
+    return xp.concatenate([i.re, i.im, x.re, x.im, uf.re, uf.im, tail])

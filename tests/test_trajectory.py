@@ -1,0 +1,85 @@
+"""Oracle equivalence tests — the judged metric (BASELINE.json, SPEC.md §6).
+
+Gate 2 of SURVEY.md §7: JAX fixed-step RK4 matches the LSODA truth oracle to
+max-abs-err ≤ 1e-6 on eventful trajectories, float64.
+"""
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvderx import physics
+from pvderx.ode import rk4_window
+from pvderx.oracle import scipy_ref
+from pvderx.params import make_params, nominal_exog
+
+DT = 1.0 / 60.0
+
+
+def _jax_rollout(p, exogs, y0, n_sub):
+    pj = p.astype(jnp.float64)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def win(y, args, n_sub):
+        t0, uu = args
+        return rk4_window(lambda yy, tt: physics.rhs(yy, tt, pj, uu), y, t0, DT, n_sub)
+
+    y = jnp.asarray(y0)
+    out = [np.asarray(y)]
+    for k, u in enumerate(exogs):
+        y = win(y, (jnp.float64(k * DT), u.astype(jnp.float64)), n_sub)
+        out.append(np.asarray(y))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("preset,n_sub", [("10", 120), ("10", 210), ("50", 120)])
+def test_rk4_matches_lsoda_deep_sag(preset, n_sub):
+    """2 s trajectory with a 0.7 pu sag (current limiter engages) — ≤1e-6."""
+    p = make_params(preset)
+    u = nominal_exog()
+    u_sag = dataclasses.replace(u, v_g=0.7)
+    exogs = [u_sag if 60 <= k < 90 else u for k in range(120)]
+    traj_o = scipy_ref.run_trajectory(p, exogs)
+    traj_j = _jax_rollout(p, exogs, traj_o[0], n_sub)
+    err = np.max(np.abs(traj_j - traj_o))
+    assert err < 1e-6, f"max-abs-err {err:.3e}"
+
+
+def test_rk4_matches_lsoda_insolation_and_freq():
+    """Insolation step + grid frequency excursion scenario — ≤1e-6."""
+    p = make_params("10")
+    u = nominal_exog()
+    u_cloud = dataclasses.replace(u, s_irr=400.0)
+    # +0.5 Hz grid frequency excursion from t=1.0 s (dw in pu of 60 Hz)
+    u_freq = dataclasses.replace(u, dw_g=0.5 / 60.0, t_g=1.0)
+    exogs = [u for k in range(30)] + [u_cloud for k in range(30)] + [u_freq for k in range(60)]
+    traj_o = scipy_ref.run_trajectory(p, exogs)
+    traj_j = _jax_rollout(p, exogs, traj_o[0], 120)
+    err = np.max(np.abs(traj_j - traj_o))
+    assert err < 1e-6, f"max-abs-err {err:.3e}"
+
+
+def test_rk4_jax_matches_rk4_numpy_bitwise_level():
+    """Same integrator, same arithmetic order, two backends — ≤1e-12
+    (isolates implementation differences from integrator error)."""
+    p = make_params("10")
+    u = nominal_exog()
+    ss = scipy_ref.steady_state(p, u)
+    u_sag = dataclasses.replace(u, v_g=0.8)
+    y_np = ss.copy()
+    for k in range(6):
+        y_np = scipy_ref.rk4_window_np(y_np, k * DT, DT, 120, p, u_sag)
+    traj_j = _jax_rollout(p, [u_sag] * 6, ss, 120)
+    np.testing.assert_allclose(traj_j[-1], y_np, rtol=0, atol=1e-12)
+
+
+def test_hold_steady_no_drift():
+    """From the equilibrium with constant inputs, 1 s of RK4 stays put."""
+    p = make_params("10")
+    u = nominal_exog()
+    ss = scipy_ref.steady_state(p, u)
+    traj_j = _jax_rollout(p, [u] * 60, ss, 120)
+    assert np.max(np.abs(traj_j - ss)) < 1e-8
