@@ -1,0 +1,360 @@
+"""The PV-DER RL environment — pure-functional, batched, TPU-first.
+
+Reference analog: the `PVDER(gym.Env)` class (SURVEY.md §2.1 #2,
+`[gym:gym_PVDER/envs/pv_der_env.py]` — unverified upstream path) which owns one
+DER + events + DynamicSimulation and steps the ODE one control interval per
+`step()`. pvderx re-designs this as a state machine of pure functions
+(SPEC.md §9):
+
+    reset(cfg, key)            -> (EnvState, obs)
+    step(cfg, state, action)   -> (EnvState, obs, reward, done, info)
+
+Everything is `jit(vmap(...))`-able: the batched env is literally
+`jax.vmap(step, in_axes=(None, 0, 0))`. Scenario randomization, ride-through,
+MPPT and Volt-VAR are branchless (SPEC.md §8). Auto-reset restores the cached
+episode-initial state and re-randomizes only the mid-episode events, so no
+Newton solve is needed in the hot loop.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pvderx._pytree import pytree_dataclass, replace
+from pvderx.ode import newton_solve, rk4_window
+from pvderx.params import DERParams, make_params
+from pvderx.physics import rhs_core
+from pvderx.scenario.events import EventSchedule, make_exog
+from pvderx.scenario.mppt_voltvar import MPPTState, mppt_init, mppt_update, voltvar_qref
+from pvderx.scenario.ride_through import (
+    RideThroughParams, RideThroughState, default_rt_params, rt_init, rt_update,
+)
+
+OBS_DIM = 13
+N_ACTIONS = 5
+
+_INF = jnp.inf
+
+
+@pytree_dataclass
+class ScenarioConfig:
+    """Episode randomization ranges (SPEC.md §9 reset; BASELINE configs 1-4)."""
+
+    s0_lo: float = 600.0      # initial insolation range [W/m^2]
+    s0_hi: float = 1000.0
+    tc_lo: float = 293.15     # cell temperature range [K]
+    tc_hi: float = 318.15
+    p_sag: float = 0.5        # P(grid voltage sag event)
+    sag_depth_lo: float = 0.3
+    sag_depth_hi: float = 0.9
+    sag_t_lo: float = 1.0
+    sag_t_hi: float = 6.0
+    sag_dur_lo: float = 0.1
+    sag_dur_hi: float = 1.5
+    p_freq: float = 0.15      # P(grid frequency excursion), exclusive with sag
+    df_max: float = 0.025     # max |freq deviation| [pu]
+    p_cloud: float = 0.5      # P(insolation step)
+    cloud_frac_lo: float = 0.2
+    cloud_frac_hi: float = 0.9
+    p_load: float = 0.2       # P(local load step)
+    load_g_hi: float = 0.5
+    zg_jitter: float = 0.0    # +- relative jitter on grid R/X at reset
+
+
+@pytree_dataclass(meta=(
+    "n_sub", "horizon", "n_mppt", "mppt_enable", "voltvar_enable",
+    "k_solar", "k_grid", "k_load",
+))
+class EnvConfig:
+    der: DERParams
+    rt: RideThroughParams
+    scen: ScenarioConfig
+    dt_ctrl: float
+    # discrete action deltas + setpoint bounds (SPEC §9)
+    dq_action: float
+    dv_action: float
+    q_lo: float
+    q_hi: float
+    v_lo: float
+    v_hi: float
+    # reward (SPEC §9)
+    r_alive: float
+    w_vdc: float
+    w_q: float
+    w_vband: float
+    r_trip: float
+    q_vv: float
+    # static
+    n_sub: int
+    horizon: int
+    n_mppt: int
+    mppt_enable: bool
+    voltvar_enable: bool
+    k_solar: int
+    k_grid: int
+    k_load: int
+
+
+@pytree_dataclass
+class EnvState:
+    der: DERParams           # per-env (possibly jittered at reset)
+    sched: EventSchedule
+    y: jnp.ndarray           # [n_states]
+    t_step: jnp.ndarray      # int32 scalar
+    vdc_ref: jnp.ndarray
+    q_ref: jnp.ndarray
+    rt: RideThroughState
+    mppt: MPPTState
+    key: jnp.ndarray         # PRNG key (for auto-reset rescheduling)
+    # cached episode-initial quantities (auto-reset without Newton, see module doc)
+    y0: jnp.ndarray
+    s0: jnp.ndarray
+    tc0: jnp.ndarray
+
+
+def make_env_config(
+    preset: str = "10",
+    dtype=jnp.float32,
+    n_sub: int = 120,
+    horizon: int = 600,
+    dt_ctrl: float = 1.0 / 60.0,
+    mppt_enable: bool = False,
+    voltvar_enable: bool = False,
+    rt_enabled: bool = True,
+    n_mppt: int = 12,
+    scen: ScenarioConfig | None = None,
+    der: DERParams | None = None,
+    **overrides: Any,
+) -> EnvConfig:
+    der = der if der is not None else make_params(preset)
+    cfg = EnvConfig(
+        der=der.astype(dtype),
+        rt=jax.tree.map(lambda v: jnp.asarray(v, dtype), default_rt_params(rt_enabled)),
+        scen=jax.tree.map(lambda v: jnp.asarray(v, dtype), scen or ScenarioConfig()),
+        dt_ctrl=dt_ctrl,
+        dq_action=0.01, dv_action=0.005,
+        q_lo=-0.5, q_hi=0.5, v_lo=0.7, v_hi=1.2,
+        r_alive=0.1, w_vdc=1.0, w_q=0.5, w_vband=0.1, r_trip=100.0,
+        q_vv=0.44,
+        n_sub=n_sub, horizon=horizon, n_mppt=n_mppt,
+        mppt_enable=mppt_enable, voltvar_enable=voltvar_enable,
+        k_solar=4, k_grid=4, k_load=2,
+    )
+    if overrides:
+        cfg = replace(cfg, **overrides)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# scenario sampling (branchless; fixed table sizes)
+# ---------------------------------------------------------------------------
+def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
+    """Random mid-episode events on top of the fixed t=0 baseline (SPEC §9)."""
+    sc = cfg.scen
+    ks = jax.random.split(key, 12)
+    inf = jnp.asarray(jnp.inf, dtype)
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+
+    def u(k, lo, hi):
+        return jax.random.uniform(k, (), dtype, minval=lo, maxval=hi)
+
+    # --- solar: baseline + optional cloud step + recovery ------------------
+    has_cloud = (jax.random.uniform(ks[0], (), dtype) < sc.p_cloud).astype(dtype)
+    t_c = u(ks[1], sc.sag_t_lo, sc.sag_t_hi)
+    s_c = s0 * u(ks[2], sc.cloud_frac_lo, sc.cloud_frac_hi)
+    dur_c = u(ks[3], 0.5, 3.0)
+    t_c = jnp.where(has_cloud > 0, t_c, inf)
+    solar = jnp.stack([
+        jnp.stack([zero, s0, tc0]),
+        jnp.stack([t_c, s_c, tc0]),
+        jnp.stack([t_c + dur_c, s0, tc0]),
+        jnp.stack([inf, s0, tc0]),
+    ])
+
+    # --- grid: baseline + (sag | freq excursion | none) --------------------
+    r = jax.random.uniform(ks[4], (), dtype)
+    is_sag = (r < sc.p_sag).astype(dtype)
+    is_freq = ((r >= sc.p_sag) & (r < sc.p_sag + sc.p_freq)).astype(dtype)
+    t_g = u(ks[5], sc.sag_t_lo, sc.sag_t_hi)
+    depth = u(ks[6], sc.sag_depth_lo, sc.sag_depth_hi)
+    dur_g = u(ks[7], sc.sag_dur_lo, sc.sag_dur_hi)
+    dw = u(ks[8], -sc.df_max, sc.df_max)
+    t_evt = jnp.where(is_sag + is_freq > 0, t_g, inf)
+    v_evt = jnp.where(is_sag > 0, depth, one)
+    dw_evt = jnp.where(is_freq > 0, dw, zero)
+    grid = jnp.stack([
+        jnp.stack([zero, one, zero, zero]),
+        jnp.stack([t_evt, v_evt, zero, dw_evt]),
+        jnp.stack([t_evt + dur_g, one, zero, zero]),
+        jnp.stack([inf, one, zero, zero]),
+    ])
+
+    # --- load: baseline + optional step ------------------------------------
+    has_load = (jax.random.uniform(ks[9], (), dtype) < sc.p_load).astype(dtype)
+    t_l = jnp.where(has_load > 0, u(ks[10], sc.sag_t_lo, sc.sag_t_hi), inf)
+    g_l = u(ks[11], 0.05, sc.load_g_hi)
+    load = jnp.stack([
+        jnp.stack([zero, zero, zero]),
+        jnp.stack([t_l, g_l, zero]),
+    ])
+    return EventSchedule(solar=solar, grid=grid, load=load)
+
+
+def _jitter_params(key, der: DERParams, scen: ScenarioConfig, dtype) -> DERParams:
+    """Per-env grid-impedance jitter (BASELINE config 4)."""
+    k1, k2 = jax.random.split(key)
+    j = scen.zg_jitter
+    rg = der.rg * (1.0 + j * jax.random.uniform(k1, (), dtype, minval=-1.0, maxval=1.0))
+    xg = der.xg * (1.0 + j * jax.random.uniform(k2, (), dtype, minval=-1.0, maxval=1.0))
+    return replace(der, rg=rg, xg=xg)
+
+
+# ---------------------------------------------------------------------------
+# observations / reward (SPEC.md §9)
+# ---------------------------------------------------------------------------
+def _obs(cfg: EnvConfig, st: EnvState, g: rhs_core.Algebra, exog, t_next):
+    dtype = st.y.dtype
+    f = jnp.asarray(g.f_meas, dtype)
+    return jnp.stack([
+        g.i_pos.re, g.i_pos.im, g.v_pos.re, g.v_pos.im,
+        st.y[6 * cfg.der.n_ph],
+        g.p_pcc, g.q_pcc,
+        st.vdc_ref, st.q_ref,
+        exog.s_irr / 1000.0,
+        10.0 * (f - 1.0),
+        t_next / cfg.horizon,
+        exog.conn,
+    ]).astype(dtype)
+
+
+def _reward(cfg: EnvConfig, vdc, vdc_ref, q_pcc, q_ref, v_mag, trip_now):
+    band = jnp.maximum(v_mag - 1.05, 0.0) + jnp.maximum(0.95 - v_mag, 0.0)
+    return (cfg.r_alive
+            - cfg.w_vdc * jnp.abs(vdc - vdc_ref)
+            - cfg.w_q * jnp.abs(q_pcc - q_ref)
+            - cfg.w_vband * band
+            - cfg.r_trip * trip_now)
+
+
+# ---------------------------------------------------------------------------
+# reset / step
+# ---------------------------------------------------------------------------
+def reset(cfg: EnvConfig, key):
+    """Full episode reset: sample scenario, Newton steady-state init (SPEC §7/§9)."""
+    dtype = cfg.der.rf.dtype
+    k_base, k_jit, k_ev, k_state = jax.random.split(key, 4)
+    kb1, kb2 = jax.random.split(k_base)
+    sc = cfg.scen
+    s0 = jax.random.uniform(kb1, (), dtype, minval=sc.s0_lo, maxval=sc.s0_hi)
+    tc0 = jax.random.uniform(kb2, (), dtype, minval=sc.tc_lo, maxval=sc.tc_hi)
+    der = _jitter_params(k_jit, cfg.der, sc, dtype)
+    sched = _sample_events(k_ev, cfg, s0, tc0, dtype)
+
+    vdc_ref0 = jnp.ones((), dtype)
+    q_ref0 = jnp.zeros((), dtype)
+    exog0 = make_exog(sched, jnp.zeros((), dtype), vdc_ref0, q_ref0,
+                      jnp.ones((), dtype), jnp.zeros((), dtype))
+    f = lambda y: rhs_core.rhs(y, jnp.zeros((), dtype), der, exog0, jnp)
+    y0, _res = newton_solve(f, rhs_core.steady_state_guess(der, exog0, jnp), iters=20)
+    y0 = y0.astype(dtype)
+
+    g = rhs_core.algebra(y0, jnp.zeros((), dtype), der, exog0, jnp)
+    st = EnvState(
+        der=der, sched=sched, y=y0,
+        t_step=jnp.zeros((), jnp.int32),
+        vdc_ref=vdc_ref0, q_ref=q_ref0,
+        rt=rt_init(dtype), mppt=mppt_init(g.p_pv, dtype),
+        key=k_state, y0=y0, s0=s0, tc0=tc0,
+    )
+    return st, _obs(cfg, st, g, exog0, jnp.zeros((), dtype))
+
+
+def _soft_reset(cfg: EnvConfig, st: EnvState):
+    """Episode restart reusing the cached steady state; fresh event draws."""
+    dtype = st.y.dtype
+    k_ev, k_next = jax.random.split(st.key)
+    sched = _sample_events(k_ev, cfg, st.s0, st.tc0, dtype)
+    vdc_ref0 = jnp.ones((), dtype)
+    q_ref0 = jnp.zeros((), dtype)
+    exog0 = make_exog(sched, jnp.zeros((), dtype), vdc_ref0, q_ref0,
+                      jnp.ones((), dtype), jnp.zeros((), dtype))
+    g = rhs_core.algebra(st.y0, jnp.zeros((), dtype), st.der, exog0, jnp)
+    st2 = replace(
+        st, sched=sched, y=st.y0, t_step=jnp.zeros((), jnp.int32),
+        vdc_ref=vdc_ref0, q_ref=q_ref0, rt=rt_init(dtype),
+        mppt=mppt_init(g.p_pv, dtype), key=k_next,
+    )
+    return st2, _obs(cfg, st2, g, exog0, jnp.zeros((), dtype))
+
+
+def step(cfg: EnvConfig, st: EnvState, action):
+    """One control interval (SPEC.md §9). Reference analog: SURVEY.md §3.2."""
+    dtype = st.y.dtype
+    dt = jnp.asarray(cfg.dt_ctrl, dtype)
+    t = st.t_step.astype(dtype) * dt
+    a = jnp.asarray(action, jnp.int32)
+
+    # 1. agent action -> setpoint nudges (ignored for auto-controlled fields)
+    q_ref = st.q_ref
+    vdc_ref = st.vdc_ref
+    if not cfg.voltvar_enable:
+        dq = cfg.dq_action * ((a == 1).astype(dtype) - (a == 2).astype(dtype))
+        q_ref = jnp.clip(q_ref + dq, cfg.q_lo, cfg.q_hi)
+    if not cfg.mppt_enable:
+        dv = cfg.dv_action * ((a == 3).astype(dtype) - (a == 4).astype(dtype))
+        vdc_ref = jnp.clip(vdc_ref + dv, cfg.v_lo, cfg.v_hi)
+
+    # 2. supervisory layer at window start (SPEC §8; ZOH over the window)
+    conn = 1.0 - st.rt.tripped
+    exog = make_exog(st.sched, t, vdc_ref, q_ref, conn, st.rt.ces)
+    g0 = rhs_core.algebra(st.y, t, st.der, exog, jnp)
+    v_mag0 = jnp.hypot(g0.v_pos.re, g0.v_pos.im)
+    mppt = st.mppt
+    if cfg.voltvar_enable:
+        q_ref = voltvar_qref(v_mag0, cfg.q_vv)
+    if cfg.mppt_enable:
+        mppt, vdc_ref = mppt_update(mppt, vdc_ref, g0.p_pv, st.t_step, cfg.n_mppt)
+    exog = replace(exog, vdc_ref=vdc_ref, q_ref=q_ref)
+
+    # 3. integrate the window (the hot loop; SURVEY §3.2)
+    f = lambda y, tt: rhs_core.rhs(y, tt, st.der, exog, jnp)
+    y1 = rk4_window(f, st.y, t, dt, cfg.n_sub)
+
+    # 4. post-window measurements + ride-through update
+    g1 = rhs_core.algebra(y1, t + dt, st.der, exog, jnp)
+    v_mag1 = jnp.hypot(g1.v_pos.re, g1.v_pos.im)
+    rt1 = rt_update(st.rt, cfg.rt, v_mag1, g1.f_meas, dt)
+    trip_now = rt1.tripped * (1.0 - st.rt.tripped)
+
+    # 5. outputs
+    t_next = (st.t_step + 1).astype(dtype)
+    st1 = replace(st, y=y1, t_step=st.t_step + 1, vdc_ref=vdc_ref, q_ref=q_ref,
+                  rt=rt1, mppt=mppt)
+    # obs reflects post-step connection status (trip detected this step shows up)
+    obs = _obs(cfg, st1, g1, replace(exog, conn=1.0 - rt1.tripped), t_next)
+    vdc = y1[6 * cfg.der.n_ph]
+    reward = _reward(cfg, vdc, vdc_ref, g1.q_pcc, q_ref, v_mag1, trip_now)
+    terminated = rt1.tripped > 0.5
+    truncated = st1.t_step >= cfg.horizon
+    done = terminated | truncated
+    info = {
+        "vdc": vdc, "v_mag": v_mag1, "f_meas": g1.f_meas,
+        "p_pcc": g1.p_pcc, "q_pcc": g1.q_pcc, "p_pv": g1.p_pv,
+        "tripped": rt1.tripped, "trip_now": trip_now,
+        "terminated": terminated, "truncated": truncated,
+    }
+    return st1, obs, reward, done, info
+
+
+def step_autoreset(cfg: EnvConfig, st: EnvState, action):
+    """step() + branchless episode restart on done (for batched rollouts)."""
+    st1, obs, reward, done, info = step(cfg, st, action)
+    st_r, obs_r = _soft_reset(cfg, st1)
+    sel = lambda a, b: jnp.where(done, a, b)
+    st2 = jax.tree.map(sel, st_r, st1)
+    obs2 = sel(obs_r, obs)
+    return st2, obs2, reward, done, info

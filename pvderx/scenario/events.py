@@ -1,0 +1,103 @@
+"""Scenario / fault-injection events as dense time-sorted arrays.
+
+Reference analog: `SimulationEvents` with `add_solar_event / add_grid_event /
+add_load_event` and query-by-time inside the solve loop (SURVEY.md §2.1 #5,
+`[pvder:pvder/simulation_events.py]` — unverified upstream path). pvderx keeps
+the same capability as **branchless dense arrays**: each event type is a
+[K, D] array sorted by time, padded with t=+inf; the active row is the last
+one with t_e ≤ t (row 0 is the mandatory t=0 baseline). Lookup is O(K) masked
+work — no data-dependent control flow, so it vmaps/shards freely (SPEC.md §8).
+
+Events are applied at control-step boundaries (zero-order hold, SPEC.md §3).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pvderx._pytree import pytree_dataclass
+from pvderx.params import Exog, T_REF
+
+# column layouts
+SOLAR_COLS = 3   # (t, S_irr, T_cell)
+GRID_COLS = 4    # (t, V_g, phi_g, dw_g)
+LOAD_COLS = 3    # (t, G_load, B_load)
+
+
+@pytree_dataclass
+class EventSchedule:
+    """Per-env dense event tables (leaves; batch by stacking on axis 0)."""
+
+    solar: jnp.ndarray  # [K_s, 3]
+    grid: jnp.ndarray   # [K_g, 4]
+    load: jnp.ndarray   # [K_l, 3]
+
+
+def active_row(table, t):
+    """Last row with table[:,0] <= t (row 0 must be the t=0 baseline)."""
+    idx = jnp.sum(table[:, 0] <= t) - 1
+    idx = jnp.maximum(idx, 0)
+    return table[idx]
+
+
+def make_exog(sched: EventSchedule, t, vdc_ref, q_ref, conn, ces) -> Exog:
+    """Assemble the ZOH exogenous inputs for the window starting at t."""
+    s = active_row(sched.solar, t)
+    g = active_row(sched.grid, t)
+    l = active_row(sched.load, t)
+    return Exog(
+        s_irr=s[1], t_cell=s[2],
+        v_g=g[1], phi_g=g[2], dw_g=g[3], t_g=g[0],
+        g_load=l[1], b_load=l[2],
+        vdc_ref=vdc_ref, q_ref=q_ref, conn=conn, ces=ces,
+    )
+
+
+class EventBuilder:
+    """Host-side convenience mirroring the reference's add_*_event API.
+
+    >>> ev = EventBuilder()
+    >>> ev.add_solar_event(10.0, 85.0, 300.0)   # (t, S_irr, T_cell)
+    >>> ev.add_grid_event(15.0, v=0.5)
+    >>> sched = ev.build(k_solar=4, k_grid=4, k_load=2)
+    """
+
+    def __init__(self, s_irr=1000.0, t_cell=T_REF, v=1.0, phi=0.0, dw=0.0,
+                 g_load=0.0, b_load=0.0):
+        self._solar = [(0.0, s_irr, t_cell)]
+        self._grid = [(0.0, v, phi, dw)]
+        self._load = [(0.0, g_load, b_load)]
+
+    def add_solar_event(self, t, s_irr, t_cell=T_REF):
+        self._solar.append((float(t), float(s_irr), float(t_cell)))
+
+    def add_grid_event(self, t, v=1.0, phi=0.0, dw=0.0):
+        self._grid.append((float(t), float(v), float(phi), float(dw)))
+
+    def add_load_event(self, t, g_load=0.0, b_load=0.0):
+        self._load.append((float(t), float(g_load), float(b_load)))
+
+    def remove_solar_event(self, t):
+        self._solar = [e for e in self._solar if e[0] != t or e[0] == 0.0]
+
+    def remove_grid_event(self, t):
+        self._grid = [e for e in self._grid if e[0] != t or e[0] == 0.0]
+
+    def remove_load_event(self, t):
+        self._load = [e for e in self._load if e[0] != t or e[0] == 0.0]
+
+    @staticmethod
+    def _table(rows, k, cols, dtype):
+        rows = sorted(rows, key=lambda r: r[0])
+        if len(rows) > k:
+            raise ValueError(f"{len(rows)} events exceed table size {k}")
+        out = np.full((k, cols), np.inf, dtype=dtype)
+        out[: len(rows)] = np.asarray(rows, dtype=dtype)
+        return jnp.asarray(out)
+
+    def build(self, k_solar=4, k_grid=4, k_load=2, dtype=np.float32) -> EventSchedule:
+        return EventSchedule(
+            solar=self._table(self._solar, k_solar, SOLAR_COLS, dtype),
+            grid=self._table(self._grid, k_grid, GRID_COLS, dtype),
+            load=self._table(self._load, k_load, LOAD_COLS, dtype),
+        )

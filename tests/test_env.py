@@ -1,0 +1,166 @@
+"""Environment contract tests (SPEC.md §9; SURVEY.md §4 items 3,5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvderx._pytree import replace
+from pvderx.env import (
+    EnvConfig, N_ACTIONS, OBS_DIM, make_env_config, reset, step, step_autoreset,
+)
+from pvderx.env.vector import make_batch_fns, rollout
+from pvderx.scenario import EventBuilder
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return make_env_config("10", dtype=jnp.float32)
+
+
+def test_reset_deterministic(cfg):
+    k = jax.random.PRNGKey(7)
+    st1, o1 = reset(cfg, k)
+    st2, o2 = reset(cfg, k)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reset_steady(cfg):
+    """Initial obs: Vdc at ref, Q at 0, connected, t=0."""
+    st, obs = reset(cfg, jax.random.PRNGKey(3))
+    o = np.asarray(obs)
+    assert o.shape == (OBS_DIM,)
+    assert abs(o[4] - 1.0) < 1e-3     # Vdc
+    assert abs(o[6]) < 1e-3           # Q_pcc
+    assert o[12] == 1.0               # conn
+    assert o[11] == 0.0               # t/T
+
+
+def test_step_bitwise_deterministic(cfg):
+    st, _ = reset(cfg, jax.random.PRNGKey(5))
+    f = jax.jit(lambda s, a: step(cfg, s, a))
+    outs = []
+    for _ in range(2):
+        s = st
+        tot = 0.0
+        for k in range(20):
+            s, o, r, d, i = f(s, jnp.int32(k % N_ACTIONS))
+        outs.append(np.asarray(o))
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_q_action_nudges_setpoint(cfg):
+    st, _ = reset(cfg, jax.random.PRNGKey(1))
+    f = jax.jit(lambda s, a: step(cfg, s, a))
+    s = st
+    for _ in range(3):
+        s, o, r, d, i = f(s, jnp.int32(1))
+    assert abs(float(s.q_ref) - 3 * 0.01) < 1e-6
+    for _ in range(60):
+        s, o, r, d, i = f(s, jnp.int32(0))
+    assert abs(float(i["q_pcc"]) - 0.03) < 5e-3  # Q loop tracks
+
+
+def test_setpoint_clipping(cfg):
+    st, _ = reset(cfg, jax.random.PRNGKey(1))
+    f = jax.jit(lambda s, a: step(cfg, s, a))
+    s = st
+    for _ in range(80):
+        s, *_ = f(s, jnp.int32(2))  # Q- repeatedly
+    assert float(s.q_ref) == pytest.approx(float(cfg.q_lo))
+
+
+def test_deep_sag_trips_and_terminates(cfg):
+    """LV2 sag (0.3 pu) -> momentary cessation, then latched trip + penalty."""
+    st, _ = reset(cfg, jax.random.PRNGKey(2))
+    ev = EventBuilder()
+    ev.add_grid_event(0.05, v=0.3)
+    st = replace(st, sched=ev.build())
+    f = jax.jit(lambda s, a: step(cfg, s, a))
+    s = st
+    rewards, done_at = [], None
+    for k in range(140):
+        s, o, r, d, i = f(s, jnp.int32(0))
+        rewards.append(float(r))
+        if bool(d):
+            done_at = k
+            break
+    assert done_at is not None, "env must terminate on LV2 trip"
+    # LV2 limit is 1.0 s => trip within ~1.2 s of the sag
+    assert done_at < 80
+    assert rewards[-1] < -50.0           # trip penalty dominates
+    assert float(i["tripped"]) == 1.0
+    assert bool(i["terminated"]) and not bool(i["truncated"])
+    assert np.asarray(o)[12] == 0.0      # conn=0 in obs
+
+
+def test_horizon_truncation():
+    cfg5 = make_env_config("10", horizon=5)
+    st, _ = reset(cfg5, jax.random.PRNGKey(0))
+    f = jax.jit(lambda s, a: step(cfg5, s, a))
+    s = st
+    for k in range(5):
+        s, o, r, d, i = f(s, jnp.int32(0))
+    assert bool(d) and bool(i["truncated"]) and not bool(i["terminated"])
+
+
+def test_autoreset_restarts_episode():
+    cfg5 = make_env_config("10", horizon=3)
+    st, _ = reset(cfg5, jax.random.PRNGKey(0))
+    f = jax.jit(lambda s, a: step_autoreset(cfg5, s, a))
+    s = st
+    for k in range(3):
+        s, o, r, d, i = f(s, jnp.int32(0))
+    assert bool(d)
+    assert int(s.t_step) == 0            # restarted
+    np.testing.assert_allclose(np.asarray(s.y), np.asarray(s.y0))
+
+
+def test_vmap_matches_single(cfg):
+    """vmap(step)(batch)[i] == step(env_i) — SURVEY.md §4 item 3."""
+    N = 8
+    rb, sb = make_batch_fns(cfg, donate=False)
+    keys = jax.random.split(jax.random.PRNGKey(9), N)
+    stb, obsb = rb(keys)
+    acts = jnp.arange(N, dtype=jnp.int32) % N_ACTIONS
+    stb2, obsb2, r2, d2, _ = sb(stb, acts)
+    f = jax.jit(lambda s, a: step_autoreset(cfg, s, a))
+    for idx in [0, 3, 7]:
+        st_i = jax.tree.map(lambda x: x[idx], stb)
+        _, o, r, d, _ = f(st_i, acts[idx])
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(obsb2[idx]))
+        assert float(r) == float(r2[idx])
+
+
+def test_rollout_runs_and_mppt_voltvar_variants():
+    for kw in (dict(mppt_enable=True), dict(voltvar_enable=True)):
+        c = make_env_config("10", horizon=50, **kw)
+        rb, sb = make_batch_fns(c, donate=False)
+        stb, obsb = rb(jax.random.split(jax.random.PRNGKey(0), 4))
+        pol = lambda ob, k: jax.random.randint(k, (ob.shape[0],), 0, N_ACTIONS)
+        stf, obsf, rews, dones = jax.jit(
+            lambda s, o, k: rollout(c, s, o, pol, 20, k)
+        )(stb, obsb, jax.random.PRNGKey(1))
+        assert rews.shape == (20, 4)
+        assert np.all(np.isfinite(np.asarray(rews)))
+
+
+def test_gymnasium_adapter():
+    gym = pytest.importorskip("gymnasium")
+    from pvderx.env.gym_adapter import PVDEREnv
+    env = PVDEREnv(preset="10", horizon=30)
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (OBS_DIM,)
+    total = 0.0
+    for k in range(30):
+        obs, r, term, trunc, info = env.step(env.action_space.sample())
+        total += r
+        if term or trunc:
+            break
+    assert trunc and k == 29
+    assert "Vdc" in env.render()
+    # registered id
+    e2 = gym.make("pvderx/PVDER-v0", horizon=10)
+    o, _ = e2.reset(seed=1)
+    assert o.shape == (OBS_DIM,)
