@@ -1,0 +1,117 @@
+"""pvderx headline benchmark: vectorized env-steps/s on the attached device.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "env_steps_per_s", "value": N, "unit": "env-steps/s",
+   "vs_baseline": R, ...}
+
+vs_baseline = value / (single-env scipy-LSODA oracle steps/s on this host's
+CPU), i.e. speedup over the reference's architecture (1 env per process,
+adaptive LSODA via scipy — SURVEY.md §6: the reference publishes no numbers,
+so the measured in-repo oracle is the baseline of record). Oracle tolerances
+rtol=1e-6/atol=1e-8 (practical quality, far looser than the 1e-10 truth
+setting used in equivalence tests).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_oracle(preset: str, seconds: float = 3.0) -> float:
+    import numpy as np
+    from pvderx.oracle import scipy_ref
+    from pvderx.params import make_params, nominal_exog
+
+    p = make_params(preset)
+    u = nominal_exog()
+    u_sag = dataclasses.replace(u, v_g=0.7)
+    y = scipy_ref.steady_state(p, u)
+    dt = 1.0 / 60.0
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        uu = u_sag if (n % 120) in range(60, 90) else u  # eventful, like the env
+        y = scipy_ref.integrate_window(y, n * dt, dt, p, uu, rtol=1e-6, atol=1e-8)
+        n += 1
+    rate = n / (time.perf_counter() - t0)
+    log(f"oracle (scipy LSODA, 1 env, cpu): {rate:.1f} env-steps/s over {n} steps")
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="10")
+    ap.add_argument("--n-envs", type=int, default=4096)
+    ap.add_argument("--n-sub", type=int, default=120)
+    ap.add_argument("--chunk", type=int, default=120, help="env steps per timed call")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from pvderx.env import make_env_config
+    from pvderx.env.vector import make_batch_fns, rollout
+
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+    log(f"backend={backend} device={dev} n_envs={args.n_envs} "
+        f"preset={args.preset} n_sub={args.n_sub}")
+
+    cfg = make_env_config(args.preset, dtype=jnp.float32, n_sub=args.n_sub)
+    reset_batch, _ = make_batch_fns(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.n_envs)
+    t0 = time.perf_counter()
+    state, obs = reset_batch(keys)
+    jax.block_until_ready(obs)
+    log(f"reset (compile+run): {time.perf_counter() - t0:.1f}s")
+
+    policy = lambda ob, k: jnp.zeros((ob.shape[0],), jnp.int32)
+    ro = jax.jit(
+        lambda s, o, k: rollout(cfg, s, o, policy, args.chunk, k),
+        donate_argnums=(0, 1),
+    )
+
+    t0 = time.perf_counter()
+    state, obs, rews, dones = ro(state, obs, jax.random.PRNGKey(1))
+    jax.block_until_ready(rews)
+    log(f"rollout chunk (compile+run): {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        state, obs, rews, dones = ro(state, obs, jax.random.PRNGKey(2 + r))
+        jax.block_until_ready(rews)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rate = args.n_envs * args.chunk / best
+    log(f"times={['%.3f' % t for t in times]} best={best:.3f}s "
+        f"-> {rate:,.0f} env-steps/s")
+
+    oracle_rate = measure_oracle(args.preset)
+
+    print(json.dumps({
+        "metric": "env_steps_per_s",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / oracle_rate, 1),
+        "config": {
+            "preset": args.preset, "n_envs": args.n_envs,
+            "n_sub": args.n_sub, "backend": backend,
+            "oracle_env_steps_per_s": round(oracle_rate, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,10 @@ def make_env_config(
     der: DERParams | None = None,
     **overrides: Any,
 ) -> EnvConfig:
+    if n_sub < 40:
+        raise ValueError(
+            f"n_sub={n_sub} gives h*|lambda|max > 2.785 (RK4 stability bound) "
+            "for the shipped presets; use n_sub >= 40 (SPEC.md §6)")
     der = der if der is not None else make_params(preset)
     cfg = EnvConfig(
         der=der.astype(dtype),
