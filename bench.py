@@ -48,7 +48,7 @@ def measure_oracle(preset: str, seconds: float = 3.0) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="10")
-    ap.add_argument("--n-envs", type=int, default=4096)
+    ap.add_argument("--n-envs", type=int, default=8192)
     ap.add_argument("--n-sub", type=int, default=120)
     ap.add_argument("--chunk", type=int, default=120, help="env steps per timed call")
     ap.add_argument("--reps", type=int, default=5)

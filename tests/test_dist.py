@@ -1,0 +1,96 @@
+"""Mesh sharding + determinism tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4 items 4-5; conftest sets xla_force_host_platform_device_count=8).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pvderx._pytree import replace
+from pvderx.dist import ENV_AXIS, make_mesh, replicate, shard_batch
+from pvderx.env import make_env_config
+from pvderx.env.vector import make_batch_fns
+from pvderx.learn import PPOConfig, make_ppo
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return make_env_config("10", n_sub=40, horizon=50)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_env_step_matches_single_device(cfg):
+    """Same batch, 1-device vs 8-device mesh: identical results (resharding
+    determinism, SURVEY §4 item 5)."""
+    N = 16
+    rb, sb = make_batch_fns(cfg, donate=False)
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    st, obs = rb(keys)
+    acts = jnp.zeros((N,), jnp.int32)
+
+    st_1, obs_1, r_1, d_1, _ = sb(st, acts)
+
+    mesh = make_mesh(8)
+    st_sh = shard_batch(st, mesh)
+    acts_sh = shard_batch(acts, mesh)
+    st_8, obs_8, r_8, d_8, _ = sb(st_sh, acts_sh)
+
+    assert len(obs_8.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(obs_1), np.asarray(obs_8))
+    np.testing.assert_array_equal(np.asarray(r_1), np.asarray(r_8))
+
+
+def test_sharded_ppo_train_step(cfg):
+    """Full PPO train step over the mesh: finite loss, sharded env, replicated
+    params, and identical metrics vs single-device."""
+    ppo = PPOConfig(rollout_len=4, n_epochs=1, n_minibatch=2)
+    init_runner, train_step, _ = make_ppo(cfg, ppo)
+    runner = init_runner(jax.random.PRNGKey(1), 16)
+    ts = jax.jit(train_step)
+
+    r1, m1 = ts(runner)
+
+    mesh = make_mesh(8)
+    runner_sh = replace(
+        runner,
+        params=replicate(runner.params, mesh),
+        opt_state=replicate(runner.opt_state, mesh),
+        env_state=shard_batch(runner.env_state, mesh),
+        obs=shard_batch(runner.obs, mesh),
+        key=replicate(runner.key, mesh),
+        update_i=replicate(runner.update_i, mesh),
+    )
+    r8, m8 = ts(runner_sh)
+
+    assert np.isfinite(float(m8["loss"]))
+    assert len(r8.obs.sharding.device_set) == 8
+    # params stay replicated; numerics match the single-device run closely
+    # (reduction orders differ across shardings -> tolerance, not bitwise)
+    p1 = jax.tree.leaves(r1.params)[0]
+    p8 = jax.tree.leaves(r8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+    assert float(m1["reward_mean"]) == pytest.approx(float(m8["reward_mean"]), abs=1e-6)
+
+
+def test_rollout_bitwise_reproducible(cfg):
+    """Same seed => bitwise-identical rollout, run twice (SURVEY §4 item 5)."""
+    rb, sb = make_batch_fns(cfg, donate=False)
+    outs = []
+    for _ in range(2):
+        st, obs = rb(jax.random.split(jax.random.PRNGKey(3), 8))
+        for k in range(10):
+            st, obs, r, d, _ = sb(st, jnp.full((8,), k % 5, jnp.int32))
+        outs.append(np.asarray(obs))
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_graft_dryrun_entry():
+    """The driver's multichip dry run must keep working."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

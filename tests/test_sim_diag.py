@@ -1,0 +1,111 @@
+"""Standalone sim, plotting, metrics, checkpoint/resume tests (SURVEY §4/§5)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvderx.diag import MetricsLogger, SimulationResults
+from pvderx.scenario import EventBuilder
+from pvderx.sim import DynamicSimulation
+
+
+@pytest.fixture(scope="module")
+def sim_series():
+    ev = EventBuilder()
+    ev.add_solar_event(1.0, 500.0)
+    ev.add_grid_event(2.0, v=0.7)
+    ev.add_grid_event(2.4)
+    sim = DynamicSimulation("10", events=ev, tStop=3.0, dtype=jnp.float64)
+    series = sim.run_simulation()
+    return sim, series
+
+
+def test_dynamic_simulation_series(sim_series):
+    sim, series = sim_series
+    assert series["t"].shape == (180,)
+    # cloud event halves insolation -> P roughly halves
+    p_before = series["p_pcc"][50]
+    p_after = series["p_pcc"][170]
+    assert p_after < 0.7 * p_before
+    # sag visible in |V|
+    i_sag = np.searchsorted(series["t"], 2.2)
+    assert series["v_mag"][i_sag] < 0.8
+    assert series["tripped"][-1] == 0.0
+    # reference-style accessors
+    assert np.array_equal(sim.Vdc_t, series["vdc"])
+    assert np.array_equal(sim.t_t, series["t"])
+
+
+def test_sim_matches_oracle(sim_series):
+    """The standalone sim equals the scipy oracle on the same schedule —
+    the SURVEY §3.4 validation workflow, end to end with supervisory layer off
+    ... ride-through enabled but not triggered here."""
+    import dataclasses
+    from pvderx.oracle import scipy_ref
+    from pvderx.params import make_params, nominal_exog
+
+    sim, series = sim_series
+    p = make_params("10")
+    u = nominal_exog()
+    exogs = []
+    for k in range(180):
+        t = k / 60.0
+        uu = u
+        if t >= 1.0:
+            uu = dataclasses.replace(uu, s_irr=500.0)
+        if 2.0 <= t < 2.4:
+            uu = dataclasses.replace(uu, v_g=0.7)
+        exogs.append(uu)
+    traj = scipy_ref.run_trajectory(p, exogs)
+    ys = np.stack([series["y"][k] for k in range(180)])
+    err = np.max(np.abs(ys - traj[1:]))
+    assert err < 1e-6, f"sim vs oracle max-abs-err {err:.3e}"
+
+
+def test_show_states_and_plots(sim_series, tmp_path):
+    sim, series = sim_series
+    sim.show_PV_DER_states()
+    res = SimulationResults(series)
+    for pt in ("power", "voltage", "current", "duty_cycle", "frequency", "dc"):
+        path = res.plot_DER_simulation(pt, save_path=str(tmp_path / f"{pt}.png"))
+        assert os.path.getsize(path) > 1000
+    with pytest.raises(ValueError):
+        res.plot_DER_simulation("nope")
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    ml = MetricsLogger(path)
+    ml.write(0, {"loss": jnp.float32(1.5), "reward": 0.25})
+    ml.write(1, {"loss": jnp.float32(1.2), "reward": 0.5})
+    ml.close()
+    import json
+    recs = [json.loads(l) for l in open(path)]
+    assert recs[1]["loss"] == pytest.approx(1.2)
+    assert recs[0]["step"] == 0
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """Save/restore the full PPORunner; continued training is bitwise equal."""
+    from pvderx.diag import checkpoint
+    from pvderx.env import make_env_config
+    from pvderx.learn import PPOConfig, make_ppo
+
+    cfg = make_env_config("10", horizon=20, n_sub=40)
+    ppo = PPOConfig(rollout_len=4, n_epochs=1, n_minibatch=1)
+    init_runner, train_step, _ = make_ppo(cfg, ppo)
+    runner = init_runner(jax.random.PRNGKey(0), 8)
+    ts = jax.jit(train_step)
+    runner, _ = ts(runner)
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, runner)
+    restored = checkpoint.restore(path, jax.tree.map(lambda x: x, runner))
+
+    r1, m1 = ts(runner)
+    r2, m2 = ts(restored)
+    for a, b in zip(jax.tree.leaves(r1), jax.tree.leaves(r2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1["loss"]) == float(m2["loss"])
