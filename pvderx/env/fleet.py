@@ -1,0 +1,210 @@
+"""Fleet environment: M inverters per env on a shared feeder (BASELINE cfg 5).
+
+Same contract shape as `pvderx.env.core` (reset/step pure functions, Discrete(5)
+fleet-level action applied to every unit, Box(13) aggregate observation), with
+per-unit ride-through/MPPT state and a coupled steady-state init. SPEC.md §11.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pvderx._pytree import pytree_dataclass, replace
+from pvderx.env import core as env_core
+from pvderx.env.core import EnvConfig, OBS_DIM, N_ACTIONS
+from pvderx.ode import newton_solve, rk4_window
+from pvderx.params import DERParams, Exog
+from pvderx.physics import fleet as fl
+from pvderx.physics import rhs_core
+from pvderx.scenario.events import EventSchedule, make_exog
+from pvderx.scenario.mppt_voltvar import mppt_update, voltvar_qref
+from pvderx.scenario.ride_through import RideThroughState, rt_update
+
+
+@pytree_dataclass(meta=("m",))
+class FleetConfig:
+    base: EnvConfig
+    m: int
+
+
+def make_fleet_config(preset: str = "10", m: int = 16, **kw) -> FleetConfig:
+    return FleetConfig(base=env_core.make_env_config(preset, **kw), m=m)
+
+
+@pytree_dataclass
+class FleetState:
+    der: DERParams          # leaves [M]
+    sched: EventSchedule    # shared per env
+    y: jnp.ndarray          # [M, n_states]
+    t_step: jnp.ndarray
+    vdc_ref: jnp.ndarray    # [M]
+    q_ref: jnp.ndarray      # [M]
+    rt: RideThroughState    # leaves [M, ...]
+    mppt: object            # MPPTState leaves [M]
+    key: jnp.ndarray
+    y0: jnp.ndarray
+    s0: jnp.ndarray
+    tc0: jnp.ndarray
+
+
+def _fleet_exog(sched: EventSchedule, t, m: int, vdc_ref, q_ref, conn, ces) -> Exog:
+    """Per-unit Exog ([M] leaves) with shared grid/solar/load event fields."""
+    sh = make_exog(sched, t, jnp.zeros_like(vdc_ref[0]), jnp.zeros_like(q_ref[0]),
+                   jnp.ones_like(conn[0]), jnp.zeros_like(ces[0]))
+    bc = lambda x: jnp.broadcast_to(x, (m,))
+    return Exog(
+        s_irr=bc(sh.s_irr), t_cell=bc(sh.t_cell), v_g=bc(sh.v_g),
+        phi_g=bc(sh.phi_g), dw_g=bc(sh.dw_g), t_g=bc(sh.t_g),
+        g_load=bc(sh.g_load), b_load=bc(sh.b_load),
+        vdc_ref=vdc_ref, q_ref=q_ref, conn=conn, ces=ces,
+    )
+
+
+def reset(fc: FleetConfig, key):
+    cfg, m = fc.base, fc.m
+    dtype = cfg.der.rf.dtype
+    k_base, k_jit, k_ev, k_state = jax.random.split(key, 4)
+    kb1, kb2 = jax.random.split(k_base)
+    sc = cfg.scen
+    s0 = jax.random.uniform(kb1, (), dtype, minval=sc.s0_lo, maxval=sc.s0_hi)
+    tc0 = jax.random.uniform(kb2, (), dtype, minval=sc.tc_lo, maxval=sc.tc_hi)
+    # shared-feeder impedance jitter: one draw, broadcast to all units
+    der1 = env_core._jitter_params(k_jit, cfg.der, sc, dtype)
+    der = fl.fleetify(der1, m, jnp)
+    sched = env_core._sample_events(k_ev, cfg, s0, tc0, dtype)
+
+    vdc_ref = jnp.ones((m,), dtype)
+    q_ref = jnp.zeros((m,), dtype)
+    conn = jnp.ones((m,), dtype)
+    ces = jnp.zeros((m,), dtype)
+    fu = _fleet_exog(sched, jnp.zeros((), dtype), m, vdc_ref, q_ref, conn, ces)
+
+    n_s = 6 * cfg.der.n_ph + 5
+    f = lambda yf: fl.fleet_rhs(
+        yf.reshape(m, n_s), jnp.zeros((), dtype), der, fu, jnp).reshape(-1)
+    y0, _ = newton_solve(f, fl.fleet_guess(der, fu, jnp).reshape(-1), iters=15)
+    y0 = y0.reshape(m, n_s).astype(dtype)
+
+    g = fl.fleet_algebra(y0, jnp.zeros((), dtype), der, fu, jnp)
+    rt = RideThroughState(
+        timers=jnp.zeros((m, 6), dtype),
+        tripped=jnp.zeros((m,), dtype), ces=jnp.zeros((m,), dtype))
+    from pvderx.scenario.mppt_voltvar import MPPTState
+    mppt = MPPTState(p_prev=g.p_pv, direction=jnp.ones((m,), dtype))
+    st = FleetState(der=der, sched=sched, y=y0,
+                    t_step=jnp.zeros((), jnp.int32),
+                    vdc_ref=vdc_ref, q_ref=q_ref, rt=rt, mppt=mppt,
+                    key=k_state, y0=y0, s0=s0, tc0=tc0)
+    return st, _obs(fc, st, g, fu, jnp.zeros((), dtype))
+
+
+def _obs(fc: FleetConfig, st: FleetState, g, fu: Exog, t_next):
+    """Aggregate 13-dim observation (same layout as the single-DER env)."""
+    cfg = fc.base
+    dtype = st.y.dtype
+    n = cfg.der.n_ph
+    conn_frac = jnp.mean(fu.conn)
+    return jnp.stack([
+        jnp.mean(g.i_pos.re), jnp.mean(g.i_pos.im),
+        g.v_pos.re[0], g.v_pos.im[0],
+        jnp.mean(st.y[:, 6 * n]),
+        jnp.mean(g.p_pcc), jnp.mean(g.q_pcc),
+        jnp.mean(st.vdc_ref), jnp.mean(st.q_ref),
+        fu.s_irr[0] / 1000.0,
+        10.0 * (jnp.mean(g.f_meas) - 1.0),
+        t_next / cfg.horizon,
+        conn_frac,
+    ]).astype(dtype)
+
+
+def step(fc: FleetConfig, st: FleetState, action):
+    """One control interval for the whole fleet (SPEC.md §11)."""
+    cfg, m = fc.base, fc.m
+    dtype = st.y.dtype
+    dt = jnp.asarray(cfg.dt_ctrl, dtype)
+    t = st.t_step.astype(dtype) * dt
+    a = jnp.asarray(action, jnp.int32)
+
+    q_ref, vdc_ref = st.q_ref, st.vdc_ref
+    if not cfg.voltvar_enable:
+        dq = cfg.dq_action * ((a == 1).astype(dtype) - (a == 2).astype(dtype))
+        q_ref = jnp.clip(q_ref + dq, cfg.q_lo, cfg.q_hi)
+    if not cfg.mppt_enable:
+        dv = cfg.dv_action * ((a == 3).astype(dtype) - (a == 4).astype(dtype))
+        vdc_ref = jnp.clip(vdc_ref + dv, cfg.v_lo, cfg.v_hi)
+
+    conn = 1.0 - st.rt.tripped
+    fu = _fleet_exog(st.sched, t, m, vdc_ref, q_ref, conn, st.rt.ces)
+    g0 = fl.fleet_algebra(st.y, t, st.der, fu, jnp)
+    v_mag0 = jnp.hypot(g0.v_pos.re[0], g0.v_pos.im[0])
+    mppt = st.mppt
+    if cfg.voltvar_enable:
+        q_ref = jnp.broadcast_to(voltvar_qref(v_mag0, cfg.q_vv), (m,))
+    if cfg.mppt_enable:
+        mppt, vdc_ref = jax.vmap(
+            lambda ms, vr, pp: mppt_update(ms, vr, pp, st.t_step, cfg.n_mppt)
+        )(mppt, vdc_ref, g0.p_pv)
+    fu = replace(fu, vdc_ref=vdc_ref, q_ref=q_ref)
+
+    n_s = st.y.shape[-1]
+    f = lambda yf, tt: fl.fleet_rhs(yf.reshape(m, n_s), tt, st.der, fu, jnp
+                                    ).reshape(-1)
+    y1 = rk4_window(f, st.y.reshape(-1), t, dt, cfg.n_sub).reshape(m, n_s)
+
+    g1 = fl.fleet_algebra(y1, t + dt, st.der, fu, jnp)
+    v_mag1 = jnp.hypot(g1.v_pos.re[0], g1.v_pos.im[0])
+    rt1 = jax.vmap(lambda rt, fm: rt_update(rt, cfg.rt, v_mag1, fm, dt)
+                   )(st.rt, g1.f_meas)
+    trip_now = jnp.mean(rt1.tripped * (1.0 - st.rt.tripped))
+
+    t_next = (st.t_step + 1).astype(dtype)
+    st1 = replace(st, y=y1, t_step=st.t_step + 1, vdc_ref=vdc_ref,
+                  q_ref=q_ref, rt=rt1, mppt=mppt)
+    fu_out = replace(fu, conn=1.0 - rt1.tripped)
+    obs = _obs(fc, st1, g1, fu_out, t_next)
+    vdc_m = jnp.mean(y1[:, 6 * cfg.der.n_ph])
+    reward = env_core._reward(cfg, vdc_m, jnp.mean(vdc_ref),
+                              jnp.mean(g1.q_pcc), jnp.mean(q_ref),
+                              v_mag1, trip_now)
+    terminated = jnp.min(rt1.tripped) > 0.5      # whole fleet offline
+    truncated = st1.t_step >= cfg.horizon
+    done = terminated | truncated
+    info = {
+        "vdc": vdc_m, "v_mag": v_mag1,
+        "f_meas": jnp.mean(g1.f_meas),
+        "p_pcc": jnp.mean(g1.p_pcc), "q_pcc": jnp.mean(g1.q_pcc),
+        "p_pv": jnp.mean(g1.p_pv),
+        "tripped_frac": jnp.mean(rt1.tripped), "trip_now_frac": trip_now,
+        "terminated": terminated, "truncated": truncated,
+    }
+    return st1, obs, reward, done, info
+
+
+def step_autoreset(fc: FleetConfig, st: FleetState, action):
+    st1, obs, reward, done, info = step(fc, st, action)
+    st_r, obs_r = _soft_reset(fc, st1)
+    sel = lambda a, b: jnp.where(done, a, b)
+    return jax.tree.map(sel, st_r, st1), sel(obs_r, obs), reward, done, info
+
+
+def _soft_reset(fc: FleetConfig, st: FleetState):
+    cfg, m = fc.base, fc.m
+    dtype = st.y.dtype
+    k_ev, k_next = jax.random.split(st.key)
+    sched = env_core._sample_events(k_ev, cfg, st.s0, st.tc0, dtype)
+    vdc_ref = jnp.ones((m,), dtype)
+    q_ref = jnp.zeros((m,), dtype)
+    conn = jnp.ones((m,), dtype)
+    ces = jnp.zeros((m,), dtype)
+    fu = _fleet_exog(sched, jnp.zeros((), dtype), m, vdc_ref, q_ref, conn, ces)
+    g = fl.fleet_algebra(st.y0, jnp.zeros((), dtype), st.der, fu, jnp)
+    from pvderx.scenario.mppt_voltvar import MPPTState
+    st2 = replace(
+        st, sched=sched, y=st.y0, t_step=jnp.zeros((), jnp.int32),
+        vdc_ref=vdc_ref, q_ref=q_ref,
+        rt=RideThroughState(timers=jnp.zeros((m, 6), dtype),
+                            tripped=jnp.zeros((m,), dtype),
+                            ces=jnp.zeros((m,), dtype)),
+        mppt=MPPTState(p_prev=g.p_pv, direction=jnp.ones((m,), dtype)),
+        key=k_next)
+    return st2, _obs(fc, st2, g, fu, jnp.zeros((), dtype))

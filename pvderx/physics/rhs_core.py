@@ -169,19 +169,28 @@ def pv_power(vdc, s_irr, t_cell, p, xp):
     return i_arr * vdc_v / p.s_rated
 
 
-def algebra(y, t, p, u, xp) -> Algebra:
-    """All algebraic relations of SPEC.md §4."""
+def pcc_voltage(i_inj, t, p, u, xp) -> C:
+    """PCC voltage from the grid Thevenin source + load + injected current
+    (SPEC §4.1-4.2). `i_inj` is the total injected phase-current phasor pair
+    [n_ph] — for a fleet on a shared feeder, pass the per-unit *mean* over
+    units (currents in per-unit of the aggregate base; SPEC §11)."""
     n_ph = p.n_ph
-    i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
-    a_k = cexpj(_shift_angles(n_ph, xp, y.dtype), xp)
-
-    # grid + PCC algebra (SPEC §4.1-4.3)
+    a_k = cexpj(_shift_angles(n_ph, xp, i_inj.re.dtype), xp)
     v_gpos = cscale(cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp), u.v_g)
     v_g = cmul(v_gpos, a_k)
     y_g = cinv(C(p.rg, p.xg))
     y_tot = C(y_g.re + u.g_load, y_g.im + u.b_load)
+    return cdiv(cadd(cmul(v_g, y_g), i_inj), y_tot)
+
+
+def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
+    """All algebraic relations of SPEC.md §4 downstream of the PCC voltage
+    (the fleet coupling point: a shared feeder computes `v` once from the
+    total injection, then evaluates this per unit-DER)."""
+    n_ph = p.n_ph
+    i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
+    a_k = cexpj(_shift_angles(n_ph, xp, y.dtype), xp)
     i_inj = cscale(i, u.conn)
-    v = cdiv(cadd(cmul(v_g, y_g), i_inj), y_tot)
     v_pos = cmean(cmul(v, cconj(a_k)), xp)
     i_pos = cmean(cmul(i_inj, cconj(a_k)), xp)
 
@@ -222,11 +231,17 @@ def algebra(y, t, p, u, xp) -> Algebra:
                    e_dc=e_dc, e_q=e_q, aw=aw)
 
 
-def rhs(y, t, p, u, xp):
-    """dy/dt per SPEC.md §5. Pure; static shapes; branchless."""
+def algebra(y, t, p, u, xp) -> Algebra:
+    """All algebraic relations of SPEC.md §4 (single DER on its own feeder)."""
+    i, *_ = unpack(y, p.n_ph)
+    v = pcc_voltage(cscale(i, u.conn), t, p, u, xp)
+    return algebra_given_v(y, t, p, u, v, xp)
+
+
+def rhs_from_algebra(y, t, p, u, g: Algebra, xp):
+    """Assemble dy/dt (SPEC.md §5) from precomputed algebra."""
     n_ph = p.n_ph
     i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
-    g = algebra(y, t, p, u, xp)
     en = u.conn * (1.0 - u.ces)
 
     wb = p.w_base
@@ -244,6 +259,18 @@ def rhs(y, t, p, u, xp):
     dth = wb * (p.kp_pll * g.v_q + xpll)
 
     return pack(di, dx, du, dvdc, dxdc, dxq, dxpll, dth, xp)
+
+
+def rhs(y, t, p, u, xp):
+    """dy/dt per SPEC.md §5. Pure; static shapes; branchless."""
+    g = algebra(y, t, p, u, xp)
+    return rhs_from_algebra(y, t, p, u, g, xp)
+
+
+def rhs_given_v(y, t, p, u, v: C, xp):
+    """dy/dt with an externally supplied PCC voltage (fleet coupling)."""
+    g = algebra_given_v(y, t, p, u, v, xp)
+    return rhs_from_algebra(y, t, p, u, g, xp)
 
 
 def steady_state_guess(p, u, xp):

@@ -1,0 +1,98 @@
+"""Fleet (multi-DER shared feeder) tests — BASELINE config 5, SPEC.md §11."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from pvderx.env.fleet import make_fleet_config, reset, step, step_autoreset
+from pvderx.ode import rk4_window
+from pvderx.params import make_params, nominal_exog
+from pvderx.physics import fleet as fl
+
+M = 4  # small fleet for test speed; env code is M-generic
+
+
+@pytest.fixture(scope="module")
+def fleet_np():
+    p = make_params("10")
+    u = nominal_exog()
+    return fl.fleetify(p, M, np), fl.fleetify(u, M, np)
+
+
+def test_fleet_rhs_jax_matches_numpy(fleet_np):
+    fp, fu = fleet_np
+    fpj = jax.tree.map(lambda l: jnp.asarray(l, jnp.float64), fp)
+    fuj = jax.tree.map(lambda l: jnp.asarray(l, jnp.float64), fu)
+    rng = np.random.default_rng(1)
+    guess = fl.fleet_guess(fp, fu, np)
+    y = guess + 0.02 * rng.standard_normal(guess.shape)
+    r_np = fl.fleet_rhs(y, 0.3, fp, fu, np)
+    r_jx = fl.fleet_rhs(jnp.asarray(y), jnp.float64(0.3), fpj, fuj, jnp)
+    np.testing.assert_allclose(np.asarray(r_jx), r_np, rtol=0, atol=1e-12)
+
+
+def test_fleet_rk4_matches_lsoda(fleet_np):
+    """Coupled-fleet trajectory: fixed-step RK4 vs LSODA ≤1e-6 (f64)."""
+    fp, fu = fleet_np
+    fpj = jax.tree.map(lambda l: jnp.asarray(l, jnp.float64), fp)
+    fuj = jax.tree.map(lambda l: jnp.asarray(l, jnp.float64), fu)
+    fc = make_fleet_config("10", m=M, dtype=jnp.float64)
+    st, _ = jax.jit(lambda k: reset(fc, k))(jax.random.PRNGKey(0))
+    y0 = np.asarray(st.y).reshape(-1).astype(np.float64)
+
+    win = jax.jit(lambda y, t0: rk4_window(
+        lambda yy, tt: fl.fleet_rhs(yy.reshape(M, -1), tt, fpj, fuj, jnp
+                                    ).reshape(-1), y, t0, 1.0 / 60, 120))
+    rhs_flat = lambda t, yf: fl.fleet_rhs(
+        yf.reshape(M, -1), t, fp, fu, np).reshape(-1)
+    yj, yo = jnp.asarray(y0), y0.copy()
+    for k in range(18):
+        yj = win(yj, jnp.float64(k / 60))
+        sol = solve_ivp(rhs_flat, (k / 60, (k + 1) / 60), yo,
+                        method="LSODA", rtol=1e-10, atol=1e-10)
+        yo = sol.y[:, -1]
+    assert np.max(np.abs(np.asarray(yj) - yo)) < 1e-6
+
+
+def test_fleet_env_steps_and_aggregates():
+    fc = make_fleet_config("10", m=M)
+    st, obs = jax.jit(lambda k: reset(fc, k))(jax.random.PRNGKey(0))
+    assert obs.shape == (13,)
+    assert st.y.shape == (M, 11)
+    f = jax.jit(lambda s, a: step(fc, s, a))
+    s = st
+    for _ in range(10):
+        s, o, r, d, i = f(s, jnp.int32(1))  # Q+ for the whole fleet
+    assert float(s.q_ref[0]) == pytest.approx(0.1, abs=1e-6)
+    assert np.all(np.asarray(s.q_ref) == np.asarray(s.q_ref)[0])
+    assert np.isfinite(float(r))
+    assert float(i["tripped_frac"]) == 0.0
+
+
+def test_fleet_unit_trip_is_partial():
+    """One unit tripping must not terminate the fleet episode; the coupled
+    PCC keeps serving from remaining units."""
+    fc = make_fleet_config("10", m=M)
+    st, _ = jax.jit(lambda k: reset(fc, k))(jax.random.PRNGKey(0))
+    # force unit 0 tripped
+    rt = st.rt
+    tripped = rt.tripped.at[0].set(1.0)
+    from pvderx._pytree import replace
+    st = replace(st, rt=replace(rt, tripped=tripped))
+    f = jax.jit(lambda s, a: step(fc, s, a))
+    s, o, r, d, i = f(st, jnp.int32(0))
+    assert float(i["tripped_frac"]) == pytest.approx(1 / M)
+    assert not bool(d)
+    # remaining units pick up: aggregate P > 0
+    assert float(i["p_pcc"]) > 0.2
+
+
+def test_fleet_vmap_batch():
+    fc = make_fleet_config("10", m=M, horizon=10)
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    stb, obsb = jax.jit(jax.vmap(lambda k: reset(fc, k)))(keys)
+    sb = jax.jit(jax.vmap(lambda s, a: step_autoreset(fc, s, a)))
+    stb, obsb, r, d, i = sb(stb, jnp.zeros((3,), jnp.int32))
+    assert obsb.shape == (3, 13)
+    assert np.all(np.isfinite(np.asarray(r)))
