@@ -295,8 +295,13 @@ def _soft_reset(cfg: EnvConfig, st: EnvState):
     return st2, _obs(cfg, st2, g, exog0, jnp.zeros((), dtype))
 
 
-def step(cfg: EnvConfig, st: EnvState, action):
-    """One control interval (SPEC.md §9). Reference analog: SURVEY.md §3.2."""
+def _pre_window(cfg: EnvConfig, st: EnvState, action):
+    """Steps 1-2 of the control interval: action + supervisory layer.
+
+    Returns (t, exog, mppt) with exog zero-order-held over the window.
+    Split out so the batched path can swap the window integrator for the
+    fused Pallas kernel (pvderx/ops/window.py) between pre and post.
+    """
     dtype = st.y.dtype
     dt = jnp.asarray(cfg.dt_ctrl, dtype)
     t = st.t_step.astype(dtype) * dt
@@ -315,19 +320,25 @@ def step(cfg: EnvConfig, st: EnvState, action):
     # 2. supervisory layer at window start (SPEC §8; ZOH over the window)
     conn = 1.0 - st.rt.tripped
     exog = make_exog(st.sched, t, vdc_ref, q_ref, conn, st.rt.ces)
-    g0 = rhs_core.algebra(st.y, t, st.der, exog, jnp)
-    v_mag0 = jnp.hypot(g0.v_pos.re, g0.v_pos.im)
     mppt = st.mppt
-    if cfg.voltvar_enable:
-        q_ref = voltvar_qref(v_mag0, cfg.q_vv)
-    if cfg.mppt_enable:
-        mppt, vdc_ref = mppt_update(mppt, vdc_ref, g0.p_pv, st.t_step, cfg.n_mppt)
-    exog = replace(exog, vdc_ref=vdc_ref, q_ref=q_ref)
+    if cfg.voltvar_enable or cfg.mppt_enable:
+        g0 = rhs_core.algebra(st.y, t, st.der, exog, jnp)
+        if cfg.voltvar_enable:
+            v_mag0 = jnp.hypot(g0.v_pos.re, g0.v_pos.im)
+            q_ref = voltvar_qref(v_mag0, cfg.q_vv)
+        if cfg.mppt_enable:
+            mppt, vdc_ref = mppt_update(mppt, vdc_ref, g0.p_pv, st.t_step,
+                                        cfg.n_mppt)
+        exog = replace(exog, vdc_ref=vdc_ref, q_ref=q_ref)
+    return t, exog, mppt
 
-    # 3. integrate the window (the hot loop; SURVEY §3.2)
-    f = lambda y, tt: rhs_core.rhs(y, tt, st.der, exog, jnp)
-    y1 = rk4_window(f, st.y, t, dt, cfg.n_sub)
 
+def _post_window(cfg: EnvConfig, st: EnvState, exog, mppt, t, y1):
+    """Steps 4-5: post-window measurements, ride-through, obs/reward/done."""
+    dtype = st.y.dtype
+    dt = jnp.asarray(cfg.dt_ctrl, dtype)
+    vdc_ref = exog.vdc_ref
+    q_ref = exog.q_ref
     # 4. post-window measurements + ride-through update
     g1 = rhs_core.algebra(y1, t + dt, st.der, exog, jnp)
     v_mag1 = jnp.hypot(g1.v_pos.re, g1.v_pos.im)
@@ -352,6 +363,15 @@ def step(cfg: EnvConfig, st: EnvState, action):
         "terminated": terminated, "truncated": truncated,
     }
     return st1, obs, reward, done, info
+
+
+def step(cfg: EnvConfig, st: EnvState, action):
+    """One control interval (SPEC.md §9). Reference analog: SURVEY.md §3.2."""
+    t, exog, mppt = _pre_window(cfg, st, action)
+    # 3. integrate the window (the hot loop; SURVEY §3.2)
+    f = lambda y, tt: rhs_core.rhs(y, tt, st.der, exog, jnp)
+    y1 = rk4_window(f, st.y, t, jnp.asarray(cfg.dt_ctrl, st.y.dtype), cfg.n_sub)
+    return _post_window(cfg, st, exog, mppt, t, y1)
 
 
 def step_autoreset(cfg: EnvConfig, st: EnvState, action):

@@ -3,6 +3,19 @@
 This is the core TPU design (SURVEY.md §2.5): all env state is a pytree of
 [N, ...] leaves; stepping N envs is one fused XLA program. The config is
 closed over (its scalars become compile-time constants).
+
+The window integration (step 3 of SURVEY.md §3.2, ~95% of the math) has two
+interchangeable implementations:
+
+- ``scan``:   jax.vmap over the per-env `lax.scan` RK4 (pure XLA) — works on
+              any backend/batch size; each substep round-trips HBM.
+- ``pallas``: the fused VMEM-resident window kernel (pvderx/ops/window.py) —
+              one HBM read/write per *window* instead of per substep;
+              measured ~9x faster per window on a v5e at N=8192.
+
+``window="auto"`` picks pallas on TPU backends when the batch tiles by 128.
+Both paths share the identical `rhs_core` physics and agree to f32 roundoff
+(tested in tests/test_env.py).
 """
 from __future__ import annotations
 
@@ -14,13 +27,60 @@ import jax.numpy as jnp
 from pvderx.env import core
 
 
-def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True, donate: bool = True):
+def _where_done(done, a, b):
+    """jnp.where with done [N] broadcast against [N, ...] leaves."""
+    d = done.reshape(done.shape + (1,) * (a.ndim - 1))
+    return jnp.where(d, a, b)
+
+
+def _use_pallas(window: str, n: int) -> bool:
+    if window == "scan":
+        return False
+    tilable = n % 128 == 0
+    if window == "pallas":
+        if not tilable:
+            raise ValueError(f"window='pallas' needs N % 128 == 0, got N={n}")
+        return True
+    return tilable and jax.default_backend() not in ("cpu",)
+
+
+def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
+                     block: int, autoreset: bool):
+    n = state.y.shape[0]
+    if _use_pallas(window, n):
+        from pvderx.ops.window import (
+            P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch)
+        t, exog, mppt = jax.vmap(
+            lambda s, a: core._pre_window(cfg, s, a))(state, actions)
+        y1 = rk4_window_batch(
+            state.y, t, pack_struct(state.der, P_FIELDS),
+            pack_struct(exog, U_FIELDS),
+            n_ph=cfg.der.n_ph, n_sub=cfg.n_sub, dt=cfg.dt_ctrl, block=block,
+            interpret=jax.default_backend() == "cpu")
+        out = jax.vmap(
+            lambda s, e, m, tt, yy: core._post_window(cfg, s, e, m, tt, yy),
+        )(state, exog, mppt, t, y1)
+    else:
+        out = jax.vmap(lambda s, a: core.step(cfg, s, a))(state, actions)
+
+    st1, obs, reward, done, info = out
+    if not autoreset:
+        return st1, obs, reward, done, info
+    st_r, obs_r = jax.vmap(lambda s: core._soft_reset(cfg, s))(st1)
+    st2 = jax.tree.map(partial(_where_done, done), st_r, st1)
+    obs2 = _where_done(done, obs_r, obs)
+    return st2, obs2, reward, done, info
+
+
+def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True,
+                   donate: bool = True, window: str = "auto",
+                   block: int = 8192):
     """Returns (reset_batch(keys) -> (state, obs),
                 step_batch(state, actions) -> (state, obs, reward, done, info)).
 
     keys: [N, 2] PRNG keys; actions: [N] int32. All outputs batched on axis 0.
+    window: "auto" | "pallas" | "scan" (see module docstring).
     """
-    step_fn = core.step_autoreset if autoreset else core.step
 
     @jax.jit
     def reset_batch(keys):
@@ -28,12 +88,14 @@ def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True, donate: bool = T
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_batch(state, actions):
-        return jax.vmap(lambda s, a: step_fn(cfg, s, a))(state, actions)
+        return _step_batch_impl(cfg, state, actions, window=window,
+                                block=block, autoreset=autoreset)
 
     return reset_batch, step_batch
 
 
-def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key):
+def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
+            window: str = "auto", block: int = 8192):
     """Scan a policy over n_steps of a batched env with auto-reset.
 
     policy_fn(obs, key) -> actions [N]. Returns (state, obs, rewards [T,N],
@@ -41,12 +103,12 @@ def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key):
     sequence parallelism is the rollout time axis; use jax.checkpoint upstream
     for very long horizons).
     """
-    step_fn = jax.vmap(lambda s, a: core.step_autoreset(cfg, s, a))
 
     def body(carry, k):
         st, ob = carry
         acts = policy_fn(ob, k)
-        st, ob, rew, done, _ = step_fn(st, acts)
+        st, ob, rew, done, _ = _step_batch_impl(
+            cfg, st, acts, window=window, block=block, autoreset=True)
         return (st, ob), (rew, done)
 
     keys = jax.random.split(key, n_steps)

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: the fused RK4 control-window integrator.
+
+This is the hot op of the whole framework (SURVEY.md §3.2: thousands of RHS
+evaluations per env-step in the reference; here 4·n_sub per control window).
+The XLA default path runs each RK4 substep as its own HBM-roundtripping fused
+kernel — at [N, 11..23] f32 state sizes that is launch/bandwidth bound
+(~4.5 ms per 105-substep window at N=8192, measured). This kernel keeps a
+block of environments' state resident in VMEM and runs ALL n_sub substeps in
+one `pallas_call`: one HBM read of (state, params, exog) and one write of the
+final state per window.
+
+Layout — the whole trick: every array is [n_rows, R, 128] with the
+*variable/field index* on the leading (untiled) axis and environments on the
+(sublane, lane) axes. Indexing a variable (`y[3]`, `p_pack[k]`) slices the
+untiled axis — free, no relayout — and every arithmetic op is a dense
+[R, 128] (or [n_ph, R, 128]) VPU tile op. `rhs_core` is batch-transparent
+over trailing axes (phase reductions are axis-0), so the kernel body calls
+the *identical* physics code the scipy oracle validates — there is no second
+implementation of the equations.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pvderx.params import DERParams, Exog
+
+LANE = 128
+
+
+def _data_field_names(cls, meta=("n_ph",)):
+    return [f.name for f in dataclasses.fields(cls) if f.name not in meta]
+
+P_FIELDS = _data_field_names(DERParams)
+U_FIELDS = _data_field_names(Exog, meta=())
+
+
+def pack_struct(tree, fields) -> jnp.ndarray:
+    """Stack a dataclass of [N] leaves into one [n_fields, N] array."""
+    return jnp.stack([getattr(tree, f) for f in fields])
+
+
+def unpack_struct(cls, arr, fields, **meta):
+    """Rebuild the dataclass with index-0 views of a [n_fields, ...] array."""
+    kw = {f: arr[i] for i, f in enumerate(fields)}
+    kw.update(meta)
+    return cls(**kw)
+
+
+def _window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, n_sub, h):
+    from pvderx.physics import rhs_core
+
+    y = y_ref[:]                       # [n_states, R, 128]
+    p = unpack_struct(DERParams, p_ref[:], P_FIELDS, n_ph=n_ph)
+    u = unpack_struct(Exog, u_ref[:], U_FIELDS)
+    t0 = t_ref[0]                      # [R, 128] per-env window start time
+
+    def body(k, y):
+        t = t0 + k * h
+        k1 = rhs_core.rhs(y, t, p, u, jnp)
+        k2 = rhs_core.rhs(y + (0.5 * h) * k1, t + 0.5 * h, p, u, jnp)
+        k3 = rhs_core.rhs(y + (0.5 * h) * k2, t + 0.5 * h, p, u, jnp)
+        k4 = rhs_core.rhs(y + h * k3, t + h, p, u, jnp)
+        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    out_ref[:] = lax.fori_loop(0, n_sub, body, y)
+
+
+def _to_tiles(a, n_rows, block):
+    """[n_rows, N] -> [n_rows, N//128, 128]."""
+    return a.reshape(n_rows, -1, LANE)
+
+
+@partial(jax.jit, static_argnames=("n_ph", "n_sub", "dt", "block", "interpret"))
+def rk4_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, n_sub: int,
+                     dt: float, block: int = 8192, interpret: bool = False):
+    """Integrate all N envs over one control window in a single fused kernel.
+
+    y: [N, n_states]; t0: [N]; p_pack: [n_p, N]; u_pack: [n_u, N].
+    Returns y1 [N, n_states]. N must be a multiple of ``min(N, block)``,
+    which must be a multiple of 128.
+    """
+    n, n_s = y.shape
+    block = min(block, n)
+    if block % LANE or n % block:
+        raise ValueError(f"N={n} must tile by block={block} (multiple of {LANE})")
+    h = dt / n_sub
+    rows = block // LANE
+    grid = (n // block,)
+    kernel = partial(_window_kernel, n_ph=n_ph, n_sub=n_sub, h=h)
+
+    def spec(n_rows):
+        return pl.BlockSpec((n_rows, rows, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(1), spec(n_s), spec(len(P_FIELDS)), spec(len(U_FIELDS))],
+        out_specs=spec(n_s),
+        out_shape=jax.ShapeDtypeStruct((n_s, n // LANE, LANE), y.dtype),
+        interpret=interpret,
+    )(
+        _to_tiles(t0[None, :], 1, block),
+        _to_tiles(y.T, n_s, block),
+        _to_tiles(p_pack, len(P_FIELDS), block),
+        _to_tiles(u_pack, len(U_FIELDS), block),
+    )
+    return out.reshape(n_s, n).T

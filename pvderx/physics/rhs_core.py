@@ -79,7 +79,11 @@ def cexpj(phi, xp) -> C:
 
 
 def cmean(a: C, xp) -> C:
-    return C(xp.mean(a.re), xp.mean(a.im))
+    """Mean over the phase axis (axis 0). All phase-indexed arrays are
+    [n_ph] or [n_ph, B] (trailing batch axis), so axis-0 reductions make the
+    whole RHS batch-transparent — the Pallas window kernel exploits this by
+    calling the identical code on [rows, n_env_block] tiles."""
+    return C(xp.mean(a.re, axis=0), xp.mean(a.im, axis=0))
 
 
 # --------------------------------------------------------------------------
@@ -106,10 +110,26 @@ def pack(di: C, dx: C, du: C, dvdc, dxdc, dxq, dxpll, dth, xp):
     ])
 
 
-def _shift_angles(n_ph: int, xp, dtype=None):
+def _shift_angles(n_ph: int, xp, dtype=None, bdims: int = 0):
+    """Per-phase rotation angles [0, -2π/3, +2π/3][:n_ph].
+
+    Shape [n_ph] followed by ``bdims`` singleton axes — phase-indexed arrays
+    carry trailing batch axes inside the Pallas window kernel ([n_ph, R, 128]
+    env tiles), and a bare [n_ph] would mis-broadcast against them.
+    """
+    shape = (n_ph,) + (1,) * bdims
     if n_ph == 1:
-        return xp.asarray([0.0], dtype=dtype)
-    return xp.asarray([0.0, -TWO_PI_3, TWO_PI_3], dtype=dtype)
+        return xp.zeros(shape, dtype=dtype)
+    if xp.__name__ == "jax.numpy":
+        # built from ops, not a materialized constant — required inside Pallas
+        # kernels (captured ndarray constants are rejected) and TPU-safe (2D iota)
+        import jax as _jax
+        idx = _jax.lax.broadcasted_iota(xp.int32, (3, 1), 0)
+        ang = xp.where(idx == 1, -TWO_PI_3, xp.where(idx == 2, TWO_PI_3, 0.0))
+        ang = ang.reshape(shape) if bdims else ang[:, 0]
+        return ang.astype(dtype) if dtype is not None else ang
+    a = xp.asarray([0.0, -TWO_PI_3, TWO_PI_3], dtype=dtype)
+    return a.reshape(shape)
 
 
 # --------------------------------------------------------------------------
@@ -164,7 +184,9 @@ def pv_power(vdc, s_irr, t_cell, p, xp):
     t_ref = 298.15
     vdc_v = vdc * p.vdc_base
     iph = (p.isc_ref + p.ki_t * (t_cell - t_ref)) * (s_irr / 1000.0)
-    i_arr = p.np_par * (iph - p.irs * xp.expm1(p.gamma * vdc_v / t_cell))
+    # exp(x)-1 rather than expm1: x ≈ 17 at operating Vdc so the -1 is far
+    # below f32 ulp anyway, and Pallas TPU lowering has no expm1 primitive.
+    i_arr = p.np_par * (iph - p.irs * (xp.exp(p.gamma * vdc_v / t_cell) - 1.0))
     i_arr = xp.maximum(i_arr, 0.0)
     return i_arr * vdc_v / p.s_rated
 
@@ -175,7 +197,8 @@ def pcc_voltage(i_inj, t, p, u, xp) -> C:
     [n_ph] — for a fleet on a shared feeder, pass the per-unit *mean* over
     units (currents in per-unit of the aggregate base; SPEC §11)."""
     n_ph = p.n_ph
-    a_k = cexpj(_shift_angles(n_ph, xp, i_inj.re.dtype), xp)
+    bdims = getattr(i_inj.re, "ndim", 1) - 1
+    a_k = cexpj(_shift_angles(n_ph, xp, i_inj.re.dtype, bdims), xp)
     v_gpos = cscale(cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp), u.v_g)
     v_g = cmul(v_gpos, a_k)
     y_g = cinv(C(p.rg, p.xg))
@@ -189,7 +212,7 @@ def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
     total injection, then evaluates this per unit-DER)."""
     n_ph = p.n_ph
     i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
-    a_k = cexpj(_shift_angles(n_ph, xp, y.dtype), xp)
+    a_k = cexpj(_shift_angles(n_ph, xp, y.dtype, getattr(y, "ndim", 1) - 1), xp)
     i_inj = cscale(i, u.conn)
     v_pos = cmean(cmul(v, cconj(a_k)), xp)
     i_pos = cmean(cmul(i_inj, cconj(a_k)), xp)
@@ -206,10 +229,10 @@ def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
     f_meas = 1.0 + p.kp_pll * v_q + xpll
 
     # powers
-    p_inv = xp.mean(cmul(vt, cconj(i)).re)
+    p_inv = xp.mean(cmul(vt, cconj(i)).re, axis=0)
     s_pcc = cmul(v, cconj(i_inj))
-    p_pcc = xp.mean(s_pcc.re)
-    q_pcc = xp.mean(s_pcc.im)
+    p_pcc = xp.mean(s_pcc.re, axis=0)
+    q_pcc = xp.mean(s_pcc.im, axis=0)
     p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp)
 
     # outer loops -> current reference (SPEC §4.7)

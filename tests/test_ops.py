@@ -1,0 +1,88 @@
+"""Fused Pallas window kernel vs the XLA scan path (pvderx/ops/window.py).
+
+The kernel must reproduce the vmapped `lax.scan` RK4 window — the path the
+oracle equivalence tests validate — to float roundoff, for both the
+single-phase (11-state) and three-phase (23-state) models, including per-env
+heterogeneous params/exog. Runs in interpret mode on the CPU test backend;
+the same kernel compiles natively on TPU (benchmarked in bench.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvderx.env import make_env_config
+from pvderx.env.vector import make_batch_fns
+from pvderx.ode.rk4 import rk4_window
+from pvderx.ops.window import (
+    P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch, unpack_struct)
+from pvderx.params import DERParams, Exog, make_params, nominal_exog
+from pvderx.physics import rhs_core
+
+N_SUB, DT = 105, 1.0 / 60.0
+
+
+def _batch(preset, n, key, dtype):
+    p = make_params(preset)
+    u = nominal_exog()
+    k1, k2, k3 = jax.random.split(key, 3)
+    y0 = rhs_core.steady_state_guess(p, u, jnp).astype(dtype)
+    y = jnp.tile(y0[None, :], (n, 1)) + 1e-3 * jax.random.normal(
+        k1, (n, p.n_states), dtype)
+    t0 = jax.random.uniform(k2, (n,), dtype)
+    pf = jax.tree.map(lambda v: jnp.full((n,), v, dtype), p)
+    uf = jax.tree.map(lambda v: jnp.full((n,), v, dtype), u)
+    # heterogeneous envs: jitter grid impedance + insolation per env
+    jit_r = 1.0 + 0.2 * jax.random.uniform(k3, (n,), dtype, minval=-1, maxval=1)
+    pf = pf.__class__(**{**{f: getattr(pf, f) for f in P_FIELDS},
+                         "rg": pf.rg * jit_r, "n_ph": p.n_ph})
+    uf = uf.__class__(**{**{f: getattr(uf, f) for f in U_FIELDS},
+                         "s_irr": uf.s_irr * jit_r})
+    return p, pf, uf, y, t0
+
+
+@pytest.mark.parametrize("preset", ["10", "50"])
+def test_kernel_matches_scan(preset):
+    dtype = jnp.float32
+    n = 256
+    p, pf, uf, y, t0 = _batch(preset, n, jax.random.PRNGKey(0), dtype)
+
+    def win_one(yy, tt, pp, uu):
+        return rk4_window(lambda a, b: rhs_core.rhs(a, b, pp, uu, jnp),
+                          yy, tt, DT, N_SUB)
+
+    ref = jax.vmap(win_one, in_axes=(0, 0, 0, 0))(y, t0, pf, uf)
+    out = rk4_window_batch(y, t0, pack_struct(pf, P_FIELDS),
+                           pack_struct(uf, U_FIELDS), n_ph=p.n_ph,
+                           n_sub=N_SUB, dt=DT, block=128, interpret=True)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert np.isfinite(err) and err < 5e-6, err
+
+
+def test_pack_unpack_roundtrip():
+    p = make_params("50")
+    n = 8
+    pf = jax.tree.map(lambda v: jnp.full((n,), v, jnp.float32), p)
+    arr = pack_struct(pf, P_FIELDS)
+    back = unpack_struct(DERParams, arr, P_FIELDS, n_ph=3)
+    for f in P_FIELDS:
+        assert np.array_equal(np.asarray(getattr(back, f)),
+                              np.asarray(getattr(pf, f))), f
+
+
+def test_env_step_pallas_matches_scan():
+    """Full batched env step: pallas window path == scan path."""
+    cfg = make_env_config("10", dtype=jnp.float32, n_sub=64)
+    n = 128
+    keys = jax.random.split(jax.random.PRNGKey(2), n)
+    outs = {}
+    for window in ("scan", "pallas"):
+        reset_b, step_b = make_batch_fns(cfg, window=window, donate=False,
+                                         block=128)
+        st, obs = reset_b(keys)
+        acts = jnp.arange(n, dtype=jnp.int32) % 5
+        for _ in range(3):
+            st, obs, rew, done, info = step_b(st, acts)
+        outs[window] = (np.asarray(obs), np.asarray(rew), np.asarray(done))
+    for a, b in zip(outs["scan"], outs["pallas"]):
+        assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
