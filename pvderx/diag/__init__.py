@@ -1,4 +1,6 @@
 from pvderx.diag.plots import SimulationResults
 from pvderx.diag.metrics import MetricsLogger
+from pvderx.diag.profiler import Stopwatch, compile_report, trace
 
-__all__ = ["SimulationResults", "MetricsLogger"]
+__all__ = ["SimulationResults", "MetricsLogger", "Stopwatch",
+           "compile_report", "trace"]

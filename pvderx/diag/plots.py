@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
-PLOT_TYPES = ("power", "voltage", "current", "duty_cycle", "frequency", "dc")
+PLOT_TYPES = ("power", "voltage", "current", "duty_cycle", "frequency", "dc",
+              "all")
 
 
 class SimulationResults:
@@ -27,7 +28,38 @@ class SimulationResults:
         import matplotlib.pyplot as plt
 
         t = self.series["t"]
+        if plot_type == "all":
+            # the reference notebooks' overview panel: every plot type at once
+            fig, axes = plt.subplots(3, 2, figsize=(12, 9), sharex=True)
+            panels = ["power", "voltage", "current", "duty_cycle",
+                      "frequency", "dc"]
+            for ax, pt in zip(axes.flat, panels):
+                self._draw(ax, t, pt)
+                ax.legend(fontsize=8)
+                ax.grid(True, alpha=0.3)
+            for ax in axes[-1]:
+                ax.set_xlabel("t [s]")
+            fig.suptitle(self.title)
+            if save_path:
+                fig.savefig(save_path, dpi=120, bbox_inches="tight")
+            if show:  # pragma: no cover
+                plt.show()
+            plt.close(fig)
+            return save_path
         fig, ax = plt.subplots(figsize=(8, 4))
+        self._draw(ax, t, plot_type)
+        ax.set_xlabel("t [s]")
+        ax.legend()
+        ax.grid(True, alpha=0.3)
+        ax.set_title(f"{self.title}: {plot_type}")
+        if save_path:
+            fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        if show:  # pragma: no cover
+            plt.show()
+        plt.close(fig)
+        return save_path
+
+    def _draw(self, ax, t, plot_type):
         if plot_type == "power":
             ax.plot(t, self.series["p_pcc"], label="P_PCC [pu]")
             ax.plot(t, self.series["q_pcc"], label="Q_PCC [pu]")
@@ -45,13 +77,3 @@ class SimulationResults:
             ax.plot(t, self.series["vdc"], label="Vdc [pu]")
         else:
             raise ValueError(f"plot_type must be one of {PLOT_TYPES}")
-        ax.set_xlabel("t [s]")
-        ax.legend()
-        ax.grid(True, alpha=0.3)
-        ax.set_title(f"{self.title}: {plot_type}")
-        if save_path:
-            fig.savefig(save_path, dpi=120, bbox_inches="tight")
-        if show:  # pragma: no cover
-            plt.show()
-        plt.close(fig)
-        return save_path

@@ -1,0 +1,89 @@
+"""Profiling / tracing hooks — the TPU-native observability layer.
+
+Reference analog: **none** (SURVEY.md §5 — the reference profiles with print
+statements and matplotlib). pvderx wires the idiomatic JAX tools:
+
+- `trace(logdir)`: context manager around `jax.profiler.trace` producing
+  TensorBoard/Perfetto traces of the compiled TPU program.
+- `compile_report(fn, *args)`: lower + compile a jitted function and return
+  XLA's cost analysis (FLOPs, bytes accessed) plus measured wall time — the
+  basis for the speed-of-light comparisons in bench notes.
+- `Stopwatch`: chained-dependency throughput timer. On this environment's
+  remote-tunneled TPU, timing repeated identical dispatches reports cached
+  fantasy numbers; real measurements MUST chain each call's input to the
+  previous call's output (see bench.py), which Stopwatch enforces by design.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/pvderx-trace"):
+    """Capture a device trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def compile_report(fn, *args, **kwargs) -> dict:
+    """Compile `fn(*args)` and report cost analysis + compile wall time."""
+    t0 = time.perf_counter()
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    t1 = time.perf_counter()
+    compiled = lowered.compile()
+    t2 = time.perf_counter()
+    cost = compiled.cost_analysis() or {}
+    mem = compiled.memory_analysis()
+    out = {
+        "trace_s": t1 - t0,
+        "compile_s": t2 - t1,
+        "flops": cost.get("flops"),
+        "bytes_accessed": cost.get("bytes accessed"),
+    }
+    for attr in ("temp_size_in_bytes", "argument_size_in_bytes",
+                 "output_size_in_bytes", "generated_code_size_in_bytes"):
+        v = getattr(mem, attr, None)
+        if v is not None:
+            out[attr] = v
+    return out
+
+
+class Stopwatch:
+    """Throughput timer for step-like fns with a (state, ...) -> (state, ...)
+    signature: chains state through reps so the device cannot elide work.
+
+    >>> sw = Stopwatch(step_fn, state0, n_warmup=2)
+    >>> rate = sw.rate(reps=20, items_per_call=n_envs)
+    """
+
+    def __init__(self, fn, state0, n_warmup: int = 2, extra_args=()):
+        self.fn = fn
+        self.extra = tuple(extra_args)
+        s = state0
+        for _ in range(n_warmup):
+            s = self._once(s)
+        jax.block_until_ready(s)
+        self.state = s
+
+    def _once(self, s):
+        out = self.fn(s, *self.extra)
+        return out[0] if isinstance(out, tuple) else out
+
+    def elapsed(self, reps: int = 10) -> float:
+        s = self.state
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s = self._once(s)
+        jax.block_until_ready(s)
+        el = time.perf_counter() - t0
+        self.state = s
+        return el / reps
+
+    def rate(self, reps: int = 10, items_per_call: int = 1) -> float:
+        return items_per_call / self.elapsed(reps)

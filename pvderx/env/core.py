@@ -34,7 +34,8 @@ from pvderx.scenario.ride_through import (
 )
 
 OBS_DIM = 13
-N_ACTIONS = 5
+N_ACTIONS = 5       # discrete: hold / Q+ / Q- / Vdc+ / Vdc-  (reference-style)
+ACT_DIM_CONT = 2    # continuous extension (non-reference, SPEC.md §9): (dq, dv)
 
 _INF = jnp.inf
 
@@ -66,7 +67,7 @@ class ScenarioConfig:
 
 @pytree_dataclass(meta=(
     "n_sub", "horizon", "n_mppt", "mppt_enable", "voltvar_enable",
-    "k_solar", "k_grid", "k_load",
+    "k_solar", "k_grid", "k_load", "continuous",
 ))
 class EnvConfig:
     der: DERParams
@@ -96,6 +97,7 @@ class EnvConfig:
     k_solar: int
     k_grid: int
     k_load: int
+    continuous: bool
 
 
 @pytree_dataclass
@@ -127,6 +129,7 @@ def make_env_config(
     n_mppt: int = 12,
     scen: ScenarioConfig | None = None,
     der: DERParams | None = None,
+    continuous: bool = False,
     **overrides: Any,
 ) -> EnvConfig:
     if n_sub < 40:
@@ -145,7 +148,7 @@ def make_env_config(
         q_vv=0.44,
         n_sub=n_sub, horizon=horizon, n_mppt=n_mppt,
         mppt_enable=mppt_enable, voltvar_enable=voltvar_enable,
-        k_solar=4, k_grid=4, k_load=2,
+        k_solar=4, k_grid=4, k_load=2, continuous=continuous,
     )
     if overrides:
         cfg = replace(cfg, **overrides)
@@ -305,16 +308,21 @@ def _pre_window(cfg: EnvConfig, st: EnvState, action):
     dtype = st.y.dtype
     dt = jnp.asarray(cfg.dt_ctrl, dtype)
     t = st.t_step.astype(dtype) * dt
-    a = jnp.asarray(action, jnp.int32)
 
     # 1. agent action -> setpoint nudges (ignored for auto-controlled fields)
     q_ref = st.q_ref
     vdc_ref = st.vdc_ref
-    if not cfg.voltvar_enable:
+    if cfg.continuous:
+        # continuous extension: action [2] in [-1,1] scales the per-step deltas
+        a = jnp.clip(jnp.asarray(action, dtype), -1.0, 1.0)
+        dq, dv = cfg.dq_action * a[0], cfg.dv_action * a[1]
+    else:
+        a = jnp.asarray(action, jnp.int32)
         dq = cfg.dq_action * ((a == 1).astype(dtype) - (a == 2).astype(dtype))
+        dv = cfg.dv_action * ((a == 3).astype(dtype) - (a == 4).astype(dtype))
+    if not cfg.voltvar_enable:
         q_ref = jnp.clip(q_ref + dq, cfg.q_lo, cfg.q_hi)
     if not cfg.mppt_enable:
-        dv = cfg.dv_action * ((a == 3).astype(dtype) - (a == 4).astype(dtype))
         vdc_ref = jnp.clip(vdc_ref + dv, cfg.v_lo, cfg.v_hi)
 
     # 2. supervisory layer at window start (SPEC §8; ZOH over the window)

@@ -30,7 +30,9 @@ _BASE = gym.Env if _HAS_GYM else object
 class PVDEREnv(_BASE):
     """Single PV-DER environment with the SPEC.md §9 contract.
 
-    action: Discrete(5) — hold / Q± / Vdc± ;  observation: Box(13,).
+    action: Discrete(5) — hold / Q± / Vdc± (reference-style), or
+    Box(-1, 1, (2,)) when built with `continuous=True` (pvderx extension);
+    observation: Box(13,).
     """
 
     metadata = {"render_modes": ["ansi"]}
@@ -45,7 +47,12 @@ class PVDEREnv(_BASE):
         self._last = None
         self.render_mode = render_mode
         if _HAS_GYM:
-            self.action_space = spaces.Discrete(core.N_ACTIONS)
+            if self.cfg.continuous:
+                self.action_space = spaces.Box(
+                    low=-1.0, high=1.0, shape=(core.ACT_DIM_CONT,),
+                    dtype=np.float32)
+            else:
+                self.action_space = spaces.Discrete(core.N_ACTIONS)
             self.observation_space = spaces.Box(
                 low=-np.inf, high=np.inf, shape=(core.OBS_DIM,), dtype=np.float32)
 
@@ -58,8 +65,11 @@ class PVDEREnv(_BASE):
         return np.asarray(obs, np.float32), {}
 
     def step(self, action):
-        self._state, obs, reward, done, info = self._step_fn(
-            self._state, jnp.asarray(int(action), jnp.int32))
+        if self.cfg.continuous:
+            a = jnp.asarray(np.asarray(action, np.float32))
+        else:
+            a = jnp.asarray(int(action), jnp.int32)
+        self._state, obs, reward, done, info = self._step_fn(self._state, a)
         info_np = {k: np.asarray(v) for k, v in info.items()}
         terminated = bool(info_np.pop("terminated"))
         truncated = bool(info_np.pop("truncated"))

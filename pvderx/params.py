@@ -65,6 +65,12 @@ class DERParams:
     # limits
     m_max: float
     i_max: float
+    # model variant: 1.0 = constant-Vdc three-phase variant (SURVEY.md §2.1 #7,
+    # `[pvder:pvder/DER_components_three_phase_constant_Vdc.py]`): the DC bus
+    # is pinned to vdc_ref by a stiff external source and the d-axis outer
+    # loop tracks the active-power setpoint `Exog.p_ref` instead of Vdc.
+    # Branchless (lax.select masks), so mixed-variant fleets batch freely.
+    const_vdc: float
 
     @property
     def n_states(self) -> int:
@@ -90,15 +96,18 @@ class Exog:
     q_ref: float    # [pu total]
     conn: float     # breaker closed (1) / tripped open (0)
     ces: float      # momentary cessation flag
+    p_ref: float    # [pu total] active-power setpoint (const-Vdc variant only)
 
     def astype(self, dtype):
         return jax.tree.map(lambda v: jnp.asarray(v, dtype), self)
 
 
-def nominal_exog(vdc_ref: float = 1.0, q_ref: float = 0.0) -> Exog:
+def nominal_exog(vdc_ref: float = 1.0, q_ref: float = 0.0,
+                 p_ref: float = 0.0) -> Exog:
     return Exog(
         s_irr=1000.0, t_cell=T_REF, v_g=1.0, phi_g=0.0, dw_g=0.0, t_g=0.0,
         g_load=0.0, b_load=0.0, vdc_ref=vdc_ref, q_ref=q_ref, conn=1.0, ces=0.0,
+        p_ref=p_ref,
     )
 
 
@@ -116,6 +125,7 @@ _SHARED = dict(
     rf=0.015, lf=0.15, rg=0.01, xg=0.1, vdc_floor=0.1,
     w_f=6283.0, kp_gcc=0.5, ki_gcc=100.0, kp_dc=4.0, ki_dc=40.0,
     kp_q=0.5, ki_q=30.0, kp_pll=0.4, ki_pll=8.0, m_max=1.0, i_max=1.2,
+    const_vdc=0.0,
 )
 
 

@@ -160,6 +160,7 @@ class Algebra(NamedTuple):
 
 SAT_K = 16.0     # p-norm softness of magnitude limits (SPEC.md §4)
 AW_KAPPA = 40.0  # anti-windup sigmoid sharpness
+VDC_PIN_RATE = 1000.0  # [1/s] stiff-source pin of Vdc in the const-Vdc variant
 
 
 def soft_limit_scale(mag, lim, xp):
@@ -235,8 +236,11 @@ def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
     q_pcc = xp.mean(s_pcc.im, axis=0)
     p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp)
 
-    # outer loops -> current reference (SPEC §4.7)
-    e_dc = vdc - u.vdc_ref
+    # outer loops -> current reference (SPEC §4.7). The const-Vdc variant
+    # (SURVEY.md §2.1 #7) retargets the d-axis loop from Vdc regulation to
+    # active-power tracking of u.p_ref — branchless blend on p.const_vdc.
+    c = p.const_vdc
+    e_dc = (1.0 - c) * (vdc - u.vdc_ref) + c * (u.p_ref - p_pcc)
     id_raw = p.kp_dc * e_dc + xdc
     e_q = u.q_ref - q_pcc
     iq_raw = -(p.kp_q * e_q + xq)
@@ -275,7 +279,12 @@ def rhs_from_algebra(y, t, p, u, g: Algebra, xp):
     dx = cscale(uf, p.ki_gcc * en)
 
     vdc_pos = xp.maximum(vdc, p.vdc_floor)
-    dvdc = (g.p_pv - u.conn * g.p_inv) / (p.tau_dc * vdc_pos)
+    c = p.const_vdc
+    # const-Vdc variant: a stiff external DC source pins the bus to vdc_ref
+    # (first-order at VDC_PIN_RATE — keeps the steady-state Jacobian
+    # nonsingular, unlike a structurally-zero dVdc row)
+    dvdc = ((1.0 - c) * (g.p_pv - u.conn * g.p_inv) / (p.tau_dc * vdc_pos)
+            + c * VDC_PIN_RATE * (u.vdc_ref - vdc))
     dxdc = p.ki_dc * g.e_dc * g.aw
     dxq = p.ki_q * g.e_q * g.aw
     dxpll = p.ki_pll * g.v_q
@@ -305,7 +314,8 @@ def steady_state_guess(p, u, xp):
     v = cscale(cmul(cexpj(u.phi_g, xp), a_k), u.v_g)   # ignore grid impedance drop
     vmag = xp.maximum(cabs(C(v.re[0], v.im[0]), xp), 1e-6)
     p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp)
-    id0 = p_pv / vmag
+    p_cmd = (1.0 - p.const_vdc) * p_pv + p.const_vdc * u.p_ref
+    id0 = p_cmd / vmag
     iq0 = -u.q_ref / vmag
     i = cmul(cmul(C(id0, iq0), cexpj(theta, xp)), a_k)
     vt = cadd(v, cmul(C(p.rf, p.lf), i))

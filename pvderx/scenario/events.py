@@ -40,7 +40,8 @@ def active_row(table, t):
     return table[idx]
 
 
-def make_exog(sched: EventSchedule, t, vdc_ref, q_ref, conn, ces) -> Exog:
+def make_exog(sched: EventSchedule, t, vdc_ref, q_ref, conn, ces,
+              p_ref=None) -> Exog:
     """Assemble the ZOH exogenous inputs for the window starting at t."""
     s = active_row(sched.solar, t)
     g = active_row(sched.grid, t)
@@ -50,6 +51,7 @@ def make_exog(sched: EventSchedule, t, vdc_ref, q_ref, conn, ces) -> Exog:
         v_g=g[1], phi_g=g[2], dw_g=g[3], t_g=g[0],
         g_load=l[1], b_load=l[2],
         vdc_ref=vdc_ref, q_ref=q_ref, conn=conn, ces=ces,
+        p_ref=vdc_ref * 0.0 if p_ref is None else p_ref,
     )
 
 

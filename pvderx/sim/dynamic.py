@@ -82,9 +82,11 @@ class DynamicSimulation:
     """Host-side convenience wrapper mirroring the reference's class surface."""
 
     def __init__(self, preset: str = "10", events: EventBuilder | None = None,
-                 tStop: float = 10.0, dtype=jnp.float64, **cfg_kw):
+                 tStop: float = 10.0, dtype=None, **cfg_kw):
         self.events = events if events is not None else EventBuilder()
         self.tStop = float(tStop)
+        if dtype is None:  # oracle-grade f64 when x64 is on, else f32
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.cfg = make_env_config(preset, dtype=dtype, **cfg_kw)
         self.series = None
         self.state = None
@@ -110,17 +112,16 @@ class DynamicSimulation:
         raise AttributeError(name)
 
     def show_PV_DER_states(self):
-        """Pretty-print the current state (reference: PVDER_ModelUtilities)."""
+        """Pretty-print the current state (reference: PVDER_ModelUtilities'
+        `show_PV_DER_states`; formatting in pvderx/utils/printing.py)."""
         if self.state is None:
             print("simulation not run")
             return
-        y = np.asarray(self.state.y)
-        n = self.cfg.der.n_ph
-        i, x, u, vdc, xdc, xq, xpll, th = rhs_core.unpack(y, n)
-        print(f"t = {float(self.state.t_step) * self.cfg.dt_ctrl:.3f} s")
-        for k in range(n):
-            print(f"  phase {'abc'[k]}: i={i.re[k]:+.4f}{i.im[k]:+.4f}j  "
-                  f"m={x.re[k]:+.4f}{x.im[k]:+.4f}j (integrator)")
-        print(f"  Vdc={vdc:.4f} pu  xDC={xdc:+.4f}  xQ={xq:+.4f}  "
-              f"xPLL={xpll:+.4f}  theta={th:+.4f} rad")
+        from pvderx.utils import show_states
+
+        t = float(self.state.t_step) * self.cfg.dt_ctrl
+        exog = make_exog(self.state.sched, jnp.asarray(t, self.state.y.dtype),
+                         self.state.vdc_ref, self.state.q_ref,
+                         1.0 - self.state.rt.tripped, self.state.rt.ces)
+        show_states(self.state.y, self.cfg.der, exog, t)
         print(f"  tripped={float(self.state.rt.tripped) > 0.5}")

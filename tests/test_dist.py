@@ -94,3 +94,28 @@ def test_graft_dryrun_entry():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_shard_runner_and_sac_over_mesh():
+    """SAC runner sharded via shard_runner: env batch + replay on the mesh,
+    params replicated; train step stays finite (SURVEY §2.5)."""
+    from pvderx.dist import make_mesh, shard_runner
+    from pvderx.learn import SACConfig, make_sac
+
+    cfg_c = make_env_config("10", n_sub=40, horizon=50, continuous=True)
+    sac = SACConfig(rollout_len=2, n_updates=1, batch_size=16, capacity=256)
+    init_runner, train_step, _ = make_sac(cfg_c, sac)
+    runner = init_runner(jax.random.PRNGKey(5), 16)
+    mesh = make_mesh(8)
+    runner_sh = shard_runner(runner, mesh)
+    assert len(runner_sh.env_state.y.sharding.device_set) == 8
+    r8, m8 = jax.jit(train_step)(runner_sh)
+    assert np.isfinite(float(m8["critic_loss"]))
+
+
+def test_process_env_slice_single_process():
+    from pvderx.dist import process_env_slice
+    sl = process_env_slice(64)
+    assert (sl.start, sl.stop) == (0, 64)
+    with pytest.raises(ValueError):
+        process_env_slice(63) if jax.process_count() > 1 else (_ for _ in ()).throw(ValueError())

@@ -68,11 +68,23 @@ def test_show_states_and_plots(sim_series, tmp_path):
     sim, series = sim_series
     sim.show_PV_DER_states()
     res = SimulationResults(series)
-    for pt in ("power", "voltage", "current", "duty_cycle", "frequency", "dc"):
+    for pt in ("power", "voltage", "current", "duty_cycle", "frequency", "dc",
+               "all"):
         path = res.plot_DER_simulation(pt, save_path=str(tmp_path / f"{pt}.png"))
         assert os.path.getsize(path) > 1000
     with pytest.raises(ValueError):
         res.plot_DER_simulation("nope")
+
+
+def test_profiler_compile_report_and_stopwatch():
+    from pvderx.diag import Stopwatch, compile_report
+    f = lambda x: jnp.sum(x * x)
+    rep = compile_report(f, jnp.ones((128, 128), jnp.float32))
+    assert rep["compile_s"] > 0
+    step = jax.jit(lambda s: (s + 1.0,))
+    sw = Stopwatch(step, jnp.zeros((8,), jnp.float32))
+    assert sw.rate(reps=3, items_per_call=8) > 0
+    assert float(sw.state[0]) >= 2.0  # state actually advanced (chained)
 
 
 def test_metrics_logger(tmp_path):
