@@ -111,10 +111,15 @@ class EnvState:
     rt: RideThroughState
     mppt: MPPTState
     key: jnp.ndarray         # PRNG key (for auto-reset rescheduling)
-    # cached episode-initial quantities (auto-reset without Newton, see module doc)
+    # cached episode-initial quantities (auto-reset without Newton, see module
+    # doc). obs0/ppv0 are valid across soft resets because the randomized
+    # events are mid-episode only — the t=0 baseline (s0, tc0, nominal grid)
+    # is fixed per hard reset, so the initial observation never changes.
     y0: jnp.ndarray
     s0: jnp.ndarray
     tc0: jnp.ndarray
+    obs0: jnp.ndarray
+    ppv0: jnp.ndarray
 
 
 def make_env_config(
@@ -276,26 +281,25 @@ def reset(cfg: EnvConfig, key):
         vdc_ref=vdc_ref0, q_ref=q_ref0,
         rt=rt_init(dtype), mppt=mppt_init(g.p_pv, dtype),
         key=k_state, y0=y0, s0=s0, tc0=tc0,
+        obs0=jnp.zeros((OBS_DIM,), dtype), ppv0=jnp.asarray(g.p_pv, dtype),
     )
-    return st, _obs(cfg, st, g, exog0, jnp.zeros((), dtype))
+    obs = _obs(cfg, st, g, exog0, jnp.zeros((), dtype))
+    return replace(st, obs0=obs), obs
 
 
 def _soft_reset(cfg: EnvConfig, st: EnvState):
-    """Episode restart reusing the cached steady state; fresh event draws."""
+    """Episode restart reusing the cached steady state + initial observation;
+    fresh draws only for the mid-episode events (hot path: runs every batched
+    step under the autoreset select — no algebra evaluation)."""
     dtype = st.y.dtype
     k_ev, k_next = jax.random.split(st.key)
     sched = _sample_events(k_ev, cfg, st.s0, st.tc0, dtype)
-    vdc_ref0 = jnp.ones((), dtype)
-    q_ref0 = jnp.zeros((), dtype)
-    exog0 = make_exog(sched, jnp.zeros((), dtype), vdc_ref0, q_ref0,
-                      jnp.ones((), dtype), jnp.zeros((), dtype))
-    g = rhs_core.algebra(st.y0, jnp.zeros((), dtype), st.der, exog0, jnp)
     st2 = replace(
         st, sched=sched, y=st.y0, t_step=jnp.zeros((), jnp.int32),
-        vdc_ref=vdc_ref0, q_ref=q_ref0, rt=rt_init(dtype),
-        mppt=mppt_init(g.p_pv, dtype), key=k_next,
+        vdc_ref=jnp.ones((), dtype), q_ref=jnp.zeros((), dtype),
+        rt=rt_init(dtype), mppt=mppt_init(st.ppv0, dtype), key=k_next,
     )
-    return st2, _obs(cfg, st2, g, exog0, jnp.zeros((), dtype))
+    return st2, st.obs0
 
 
 def _pre_window(cfg: EnvConfig, st: EnvState, action):

@@ -180,43 +180,85 @@ def aw_gate(mag, lim, xp):
     return 1.0 / (1.0 + xp.exp(-xp.minimum(z, 40.0)))
 
 
-def pv_power(vdc, s_irr, t_cell, p, xp):
-    """Single-diode array power, pu of S_rated (SPEC.md §4.8)."""
+def photo_current(s_irr, t_cell, p):
+    """Irradiance/temperature part of the diode model — state-independent,
+    so window-invariant under ZOH exogenous inputs (hoisted by Prep)."""
     t_ref = 298.15
+    return (p.isc_ref + p.ki_t * (t_cell - t_ref)) * (s_irr / 1000.0)
+
+
+def pv_power(vdc, s_irr, t_cell, p, xp, iph=None):
+    """Single-diode array power, pu of S_rated (SPEC.md §4.8).
+
+    exp(x)-1 rather than expm1: x ≈ 17 at operating Vdc so the -1 is far
+    below f32 ulp anyway, and Pallas TPU lowering has no expm1 primitive.
+    """
     vdc_v = vdc * p.vdc_base
-    iph = (p.isc_ref + p.ki_t * (t_cell - t_ref)) * (s_irr / 1000.0)
-    # exp(x)-1 rather than expm1: x ≈ 17 at operating Vdc so the -1 is far
-    # below f32 ulp anyway, and Pallas TPU lowering has no expm1 primitive.
+    if iph is None:
+        iph = photo_current(s_irr, t_cell, p)
     i_arr = p.np_par * (iph - p.irs * (xp.exp(p.gamma * vdc_v / t_cell) - 1.0))
     i_arr = xp.maximum(i_arr, 0.0)
     return i_arr * vdc_v / p.s_rated
 
 
-def pcc_voltage(i_inj, t, p, u, xp) -> C:
+class Prep(NamedTuple):
+    """Window-invariant precomputations (state- and time-independent under
+    the ZOH contract, SPEC.md §3): computed once per control window by the
+    Pallas kernel instead of at every RK4 RHS evaluation. A `None` prep means
+    "compute inline" (the default/oracle path — identical arithmetic, so the
+    two modes are bitwise-equal)."""
+
+    y_g: C          # grid admittance 1/(rg + j·xg)
+    y_tot: C        # y_g + load admittance
+    en: object      # conn·(1-ces)
+    iph: object     # photo-current of the diode model
+    a_k: object     # phase rotators exp(j·phi_k) (None for n_ph == 1)
+
+
+def prep_invariants(p, u, xp, bdims: int = 0) -> Prep:
+    """Build the per-window invariants (see Prep)."""
+    y_g = cinv(C(p.rg, p.xg))
+    y_tot = C(y_g.re + u.g_load, y_g.im + u.b_load)
+    en = u.conn * (1.0 - u.ces)
+    iph = photo_current(u.s_irr, u.t_cell, p)
+    a_k = (None if p.n_ph == 1 else
+           cexpj(_shift_angles(p.n_ph, xp, None, bdims), xp))
+    return Prep(y_g=y_g, y_tot=y_tot, en=en, iph=iph, a_k=a_k)
+
+
+def pcc_voltage(i_inj, t, p, u, xp, prep: Prep | None = None) -> C:
     """PCC voltage from the grid Thevenin source + load + injected current
     (SPEC §4.1-4.2). `i_inj` is the total injected phase-current phasor pair
     [n_ph] — for a fleet on a shared feeder, pass the per-unit *mean* over
     units (currents in per-unit of the aggregate base; SPEC §11)."""
     n_ph = p.n_ph
-    bdims = getattr(i_inj.re, "ndim", 1) - 1
-    a_k = cexpj(_shift_angles(n_ph, xp, i_inj.re.dtype, bdims), xp)
+    if prep is None:
+        prep = prep_invariants(p, u, xp, getattr(i_inj.re, "ndim", 1) - 1)
     v_gpos = cscale(cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp), u.v_g)
-    v_g = cmul(v_gpos, a_k)
-    y_g = cinv(C(p.rg, p.xg))
-    y_tot = C(y_g.re + u.g_load, y_g.im + u.b_load)
-    return cdiv(cadd(cmul(v_g, y_g), i_inj), y_tot)
+    # n_ph == 1: a_k = exp(j·0) = 1+0j — multiplying by it is a bitwise
+    # identity in IEEE arithmetic, so skip it (broadcasting against i_inj's
+    # leading phase axis keeps shapes); big win inside the window kernel
+    v_g = v_gpos if n_ph == 1 else cmul(v_gpos, prep.a_k)
+    return cdiv(cadd(cmul(v_g, prep.y_g), i_inj), prep.y_tot)
 
 
-def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
+def algebra_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None) -> Algebra:
     """All algebraic relations of SPEC.md §4 downstream of the PCC voltage
     (the fleet coupling point: a shared feeder computes `v` once from the
     total injection, then evaluates this per unit-DER)."""
     n_ph = p.n_ph
+    if prep is None:
+        prep = prep_invariants(p, u, xp, getattr(y, "ndim", 1) - 1)
     i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
-    a_k = cexpj(_shift_angles(n_ph, xp, y.dtype, getattr(y, "ndim", 1) - 1), xp)
     i_inj = cscale(i, u.conn)
-    v_pos = cmean(cmul(v, cconj(a_k)), xp)
-    i_pos = cmean(cmul(i_inj, cconj(a_k)), xp)
+    if n_ph == 1:
+        # a_k ≡ 1: rotations are bitwise identities (see pcc_voltage)
+        v_pos = cmean(v, xp)
+        i_pos = cmean(i_inj, xp)
+    else:
+        a_k = prep.a_k
+        v_pos = cmean(cmul(v, cconj(a_k)), xp)
+        i_pos = cmean(cmul(i_inj, cconj(a_k)), xp)
 
     # modulation + terminal voltage (SPEC §4.4-4.5), smooth saturation
     m_raw = cadd(cscale(uf, p.kp_gcc), x)
@@ -225,8 +267,11 @@ def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
     vdc_pos = xp.maximum(vdc, p.vdc_floor)
     vt = cscale(m, p.kv * vdc_pos)
 
-    # PLL (SPEC §4.6)
-    v_q = cmul(v_pos, cexpj(-theta, xp)).im
+    # PLL (SPEC §4.6). One cexpj serves both the -theta rotation (via conj)
+    # and the +theta current-reference rotation below — halves the sin/cos
+    # count of the hot loop (cos(-θ)=cos(θ), sin(-θ)=-sin(θ) exactly).
+    e_th = cexpj(theta, xp)
+    v_q = cmul(v_pos, cconj(e_th)).im
     f_meas = 1.0 + p.kp_pll * v_q + xpll
 
     # powers
@@ -234,7 +279,7 @@ def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
     s_pcc = cmul(v, cconj(i_inj))
     p_pcc = xp.mean(s_pcc.re, axis=0)
     q_pcc = xp.mean(s_pcc.im, axis=0)
-    p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp)
+    p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp, iph=prep.iph)
 
     # outer loops -> current reference (SPEC §4.7). The const-Vdc variant
     # (SURVEY.md §2.1 #7) retargets the d-axis loop from Vdc regulation to
@@ -246,10 +291,11 @@ def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
     iq_raw = -(p.kp_q * e_q + xq)
     mag = xp.sqrt(id_raw * id_raw + iq_raw * iq_raw + 1e-30)
     s_lim = soft_limit_scale(mag, p.i_max, xp)
-    en = u.conn * (1.0 - u.ces)
+    en = prep.en
     id_ref = id_raw * s_lim
     iq_ref = iq_raw * s_lim
-    i_ref = cscale(cmul(cmul(C(id_ref, iq_ref), cexpj(theta, xp)), a_k), en)
+    i_dq = cmul(C(id_ref, iq_ref), e_th)
+    i_ref = cscale(i_dq if n_ph == 1 else cmul(i_dq, a_k), en)
     aw = en * aw_gate(mag, p.i_max, xp)
 
     return Algebra(i=i, v=v, vt=vt, m=m, v_pos=v_pos, i_pos=i_pos, v_q=v_q,
@@ -258,18 +304,20 @@ def algebra_given_v(y, t, p, u, v: C, xp) -> Algebra:
                    e_dc=e_dc, e_q=e_q, aw=aw)
 
 
-def algebra(y, t, p, u, xp) -> Algebra:
+def algebra(y, t, p, u, xp, prep: Prep | None = None) -> Algebra:
     """All algebraic relations of SPEC.md §4 (single DER on its own feeder)."""
     i, *_ = unpack(y, p.n_ph)
-    v = pcc_voltage(cscale(i, u.conn), t, p, u, xp)
-    return algebra_given_v(y, t, p, u, v, xp)
+    if prep is None:
+        prep = prep_invariants(p, u, xp, getattr(y, "ndim", 1) - 1)
+    v = pcc_voltage(cscale(i, u.conn), t, p, u, xp, prep)
+    return algebra_given_v(y, t, p, u, v, xp, prep)
 
 
-def rhs_from_algebra(y, t, p, u, g: Algebra, xp):
+def rhs_from_algebra(y, t, p, u, g: Algebra, xp, prep: Prep | None = None):
     """Assemble dy/dt (SPEC.md §5) from precomputed algebra."""
     n_ph = p.n_ph
     i, x, uf, vdc, xdc, xq, xpll, theta = unpack(y, n_ph)
-    en = u.conn * (1.0 - u.ces)
+    en = (u.conn * (1.0 - u.ces)) if prep is None else prep.en
 
     wb = p.w_base
     di_conn = csub(cscale(csub(csub(g.vt, g.v), cscale(i, p.rf)), wb / p.lf),
@@ -293,16 +341,20 @@ def rhs_from_algebra(y, t, p, u, g: Algebra, xp):
     return pack(di, dx, du, dvdc, dxdc, dxq, dxpll, dth, xp)
 
 
-def rhs(y, t, p, u, xp):
-    """dy/dt per SPEC.md §5. Pure; static shapes; branchless."""
-    g = algebra(y, t, p, u, xp)
-    return rhs_from_algebra(y, t, p, u, g, xp)
+def rhs(y, t, p, u, xp, prep: Prep | None = None):
+    """dy/dt per SPEC.md §5. Pure; static shapes; branchless.
+
+    `prep` (optional) supplies the window-invariant precomputations; passing
+    it changes nothing numerically (identical arithmetic) but lets the Pallas
+    window kernel hoist that work out of the substep loop."""
+    g = algebra(y, t, p, u, xp, prep)
+    return rhs_from_algebra(y, t, p, u, g, xp, prep)
 
 
-def rhs_given_v(y, t, p, u, v: C, xp):
+def rhs_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None):
     """dy/dt with an externally supplied PCC voltage (fleet coupling)."""
-    g = algebra_given_v(y, t, p, u, v, xp)
-    return rhs_from_algebra(y, t, p, u, g, xp)
+    g = algebra_given_v(y, t, p, u, v, xp, prep)
+    return rhs_from_algebra(y, t, p, u, g, xp, prep)
 
 
 def steady_state_guess(p, u, xp):

@@ -45,6 +45,9 @@ def init_from_schedule(cfg: EnvConfig, sched: EventSchedule,
         rt=rt_init(dtype), mppt=mppt_init(g.p_pv, dtype),
         key=jax.random.PRNGKey(0), y0=y0.astype(dtype),
         s0=s0, tc0=exog0.t_cell,
+        # standalone sims never auto-reset; the cached-obs fields are unused
+        obs0=jnp.zeros((env_core.OBS_DIM,), dtype),
+        ppv0=jnp.asarray(g.p_pv, dtype),
     )
     return st, res
 

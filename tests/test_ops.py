@@ -54,7 +54,7 @@ def test_kernel_matches_scan(preset):
     ref = jax.vmap(win_one, in_axes=(0, 0, 0, 0))(y, t0, pf, uf)
     out = rk4_window_batch(y, t0, pack_struct(pf, P_FIELDS),
                            pack_struct(uf, U_FIELDS), n_ph=p.n_ph,
-                           n_sub=N_SUB, dt=DT, block=128, interpret=True)
+                           n_sub=N_SUB, dt=DT, block=n, interpret=True)
     err = float(jnp.max(jnp.abs(out - ref)))
     assert np.isfinite(err) and err < 5e-6, err
 
