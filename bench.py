@@ -45,14 +45,70 @@ def measure_oracle(preset: str, seconds: float = 3.0) -> float:
     return rate
 
 
+BASELINE_CONFIGS = {
+    # BASELINE.json configs 1-5 (see BASELINE.md)
+    1: dict(preset="10", n_envs=1, cfg_kw={}),
+    2: dict(preset="50", n_envs=1024, cfg_kw=dict(voltvar_enable=True)),
+    3: dict(preset="10", n_envs=8192,
+            cfg_kw=dict(anomaly_detect=True,
+                        scen=dict(p_sag=0.9, sag_depth_lo=0.2,
+                                  sag_depth_hi=0.85))),
+    4: dict(preset="10", n_envs=16384,
+            cfg_kw=dict(mppt_enable=True,
+                        scen=dict(p_cloud=0.9, zg_jitter=0.3))),
+    5: dict(preset="10", n_envs=512, fleet_m=16, cfg_kw={}),
+}
+
+
+def bench_fleet(args, m: int):
+    """Config 5: M inverters per env on a shared feeder."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvderx.env import fleet
+
+    n = args.n_envs
+    fc = fleet.make_fleet_config(args.preset, m=m, n_sub=args.n_sub)
+    reset_b = jax.jit(jax.vmap(lambda k: fleet.reset(fc, k)))
+    st, obs = reset_b(jax.random.split(jax.random.PRNGKey(0), n))
+
+    def chunk(st, key):
+        def body(carry, k):
+            s = carry
+            acts = jax.random.randint(k, (n,), 0, 5)
+            s, ob, r, d, _ = jax.vmap(
+                lambda ss, aa: fleet.step_autoreset(fc, ss, aa))(s, acts)
+            return s, r
+        keys = jax.random.split(key, args.chunk)
+        st, rews = jax.lax.scan(body, st, keys)
+        return st, rews
+
+    ro = jax.jit(chunk, donate_argnums=(0,))
+    st, rews = ro(st, jax.random.PRNGKey(1))
+    jax.block_until_ready(rews)
+    times = []
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        st, rews = ro(st, jax.random.PRNGKey(2 + r))
+        jax.block_until_ready(rews)
+        times.append(time.perf_counter() - t0)
+    rate = n * args.chunk / min(times)
+    log(f"fleet m={m}: {rate:,.0f} env-steps/s "
+        f"({rate * m:,.0f} DER-steps/s)")
+    return rate
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="10")
     ap.add_argument("--n-envs", type=int, default=8192)
-    ap.add_argument("--n-sub", type=int, default=120)
+    ap.add_argument("--n-sub", type=int, default=105)
     ap.add_argument("--chunk", type=int, default=120, help="env steps per timed call")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--config", type=int, choices=sorted(BASELINE_CONFIGS),
+                    help="run a BASELINE.md config (1-5) instead of the "
+                         "headline 8192-env benchmark")
     args = ap.parse_args()
 
     import jax
@@ -63,12 +119,41 @@ def main():
     from pvderx.env import make_env_config
     from pvderx.env.vector import make_batch_fns, rollout
 
+    extra_cfg = {}
+    fleet_m = None
+    if args.config is not None:
+        bc = BASELINE_CONFIGS[args.config]
+        args.preset = bc["preset"]
+        args.n_envs = bc["n_envs"]
+        fleet_m = bc.get("fleet_m")
+        extra_cfg = dict(bc["cfg_kw"])
+        if "scen" in extra_cfg:
+            from pvderx.env.core import ScenarioConfig
+            extra_cfg["scen"] = ScenarioConfig(**{
+                **dataclasses.asdict(ScenarioConfig()), **extra_cfg["scen"]})
+
+    if fleet_m is not None:
+        backend = jax.default_backend()
+        rate = bench_fleet(args, fleet_m)
+        oracle_rate = measure_oracle(args.preset)
+        print(json.dumps({
+            "metric": "env_steps_per_s", "value": round(rate, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(rate / oracle_rate, 1),
+            "config": {"baseline_config": args.config, "fleet_m": fleet_m,
+                       "preset": args.preset, "n_envs": args.n_envs,
+                       "n_sub": args.n_sub, "backend": backend,
+                       "oracle_env_steps_per_s": round(oracle_rate, 1)},
+        }))
+        return
+
     backend = jax.default_backend()
     dev = jax.devices()[0]
     log(f"backend={backend} device={dev} n_envs={args.n_envs} "
         f"preset={args.preset} n_sub={args.n_sub}")
 
-    cfg = make_env_config(args.preset, dtype=jnp.float32, n_sub=args.n_sub)
+    cfg = make_env_config(args.preset, dtype=jnp.float32, n_sub=args.n_sub,
+                          **extra_cfg)
     reset_batch, _ = make_batch_fns(cfg)
     keys = jax.random.split(jax.random.PRNGKey(0), args.n_envs)
     t0 = time.perf_counter()
@@ -106,6 +191,7 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(rate / oracle_rate, 1),
         "config": {
+            "baseline_config": args.config,
             "preset": args.preset, "n_envs": args.n_envs,
             "n_sub": args.n_sub, "backend": backend,
             "oracle_env_steps_per_s": round(oracle_rate, 1),

@@ -24,14 +24,27 @@ def get_logger(name: str = "pvderx", level=logging.INFO) -> logging.Logger:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics writer with wall-clock stamps."""
+    """Append-only JSONL metrics writer with wall-clock stamps.
 
-    def __init__(self, path: str | None = None, echo: bool = False):
+    Optional TensorBoard mirroring via `tensorboard_dir` (uses whichever
+    summary-writer implementation is installed; silently disabled when none
+    is — this image ships torch's)."""
+
+    def __init__(self, path: str | None = None, echo: bool = False,
+                 tensorboard_dir: str | None = None):
         self.path = path
         self.echo = echo
         self._fh = open(path, "a") if path else None
         self._log = get_logger()
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:  # pragma: no cover - tb backend optional
+                self._log.warning("no TensorBoard writer available; "
+                                  "tensorboard_dir ignored")
 
     def write(self, step: int, metrics: dict):
         rec = {"step": int(step), "wall_s": round(time.time() - self._t0, 3)}
@@ -39,6 +52,10 @@ class MetricsLogger:
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb:
+            for k, v in rec.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, int(step))
         if self.echo:
             self._log.info(" ".join(f"{k}={v:.5g}" for k, v in rec.items()))
         return rec
@@ -46,3 +63,5 @@ class MetricsLogger:
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._tb:
+            self._tb.close()

@@ -35,6 +35,7 @@ from pvderx.scenario.ride_through import (
 
 OBS_DIM = 13
 N_ACTIONS = 5       # discrete: hold / Q+ / Q- / Vdc+ / Vdc-  (reference-style)
+N_ACTIONS_ANOM = 6  # + action 5 = "flag anomaly" (BASELINE config 3)
 ACT_DIM_CONT = 2    # continuous extension (non-reference, SPEC.md §9): (dq, dv)
 
 _INF = jnp.inf
@@ -67,7 +68,7 @@ class ScenarioConfig:
 
 @pytree_dataclass(meta=(
     "n_sub", "horizon", "n_mppt", "mppt_enable", "voltvar_enable",
-    "k_solar", "k_grid", "k_load", "continuous",
+    "k_solar", "k_grid", "k_load", "continuous", "anomaly_detect",
 ))
 class EnvConfig:
     der: DERParams
@@ -88,6 +89,12 @@ class EnvConfig:
     w_vband: float
     r_trip: float
     q_vv: float
+    # anomaly-detection shaping (BASELINE config 3): reward for flagging while
+    # an injected event (sag / frequency excursion / cloud / load step) is
+    # active; penalties for false alarms and misses
+    r_anom_tp: float
+    r_anom_fp: float
+    r_anom_fn: float
     # static
     n_sub: int
     horizon: int
@@ -98,6 +105,7 @@ class EnvConfig:
     k_grid: int
     k_load: int
     continuous: bool
+    anomaly_detect: bool
 
 
 @pytree_dataclass
@@ -135,6 +143,7 @@ def make_env_config(
     scen: ScenarioConfig | None = None,
     der: DERParams | None = None,
     continuous: bool = False,
+    anomaly_detect: bool = False,
     **overrides: Any,
 ) -> EnvConfig:
     if n_sub < 40:
@@ -151,9 +160,11 @@ def make_env_config(
         q_lo=-0.5, q_hi=0.5, v_lo=0.7, v_hi=1.2,
         r_alive=0.1, w_vdc=1.0, w_q=0.5, w_vband=0.1, r_trip=100.0,
         q_vv=0.44,
+        r_anom_tp=0.5, r_anom_fp=0.2, r_anom_fn=0.1,
         n_sub=n_sub, horizon=horizon, n_mppt=n_mppt,
         mppt_enable=mppt_enable, voltvar_enable=voltvar_enable,
         k_solar=4, k_grid=4, k_load=2, continuous=continuous,
+        anomaly_detect=anomaly_detect,
     )
     if overrides:
         cfg = replace(cfg, **overrides)
@@ -316,6 +327,7 @@ def _pre_window(cfg: EnvConfig, st: EnvState, action):
     # 1. agent action -> setpoint nudges (ignored for auto-controlled fields)
     q_ref = st.q_ref
     vdc_ref = st.vdc_ref
+    flag = jnp.zeros((), dtype)
     if cfg.continuous:
         # continuous extension: action [2] in [-1,1] scales the per-step deltas
         a = jnp.clip(jnp.asarray(action, dtype), -1.0, 1.0)
@@ -324,6 +336,8 @@ def _pre_window(cfg: EnvConfig, st: EnvState, action):
         a = jnp.asarray(action, jnp.int32)
         dq = cfg.dq_action * ((a == 1).astype(dtype) - (a == 2).astype(dtype))
         dv = cfg.dv_action * ((a == 3).astype(dtype) - (a == 4).astype(dtype))
+        if cfg.anomaly_detect:
+            flag = (a == 5).astype(dtype)   # "flag anomaly" (BASELINE cfg 3)
     if not cfg.voltvar_enable:
         q_ref = jnp.clip(q_ref + dq, cfg.q_lo, cfg.q_hi)
     if not cfg.mppt_enable:
@@ -342,10 +356,23 @@ def _pre_window(cfg: EnvConfig, st: EnvState, action):
             mppt, vdc_ref = mppt_update(mppt, vdc_ref, g0.p_pv, st.t_step,
                                         cfg.n_mppt)
         exog = replace(exog, vdc_ref=vdc_ref, q_ref=q_ref)
-    return t, exog, mppt
+    return t, exog, mppt, flag
 
 
-def _post_window(cfg: EnvConfig, st: EnvState, exog, mppt, t, y1):
+def _anomaly_active(st: EnvState, exog) -> jnp.ndarray:
+    """Ground truth for the anomaly-detection reward (BASELINE config 3):
+    1.0 while any injected event deviates from the episode's t=0 baseline
+    (nominal grid, s0 insolation, no load). Branchless, from the ZOH exog."""
+    dtype = st.y.dtype
+    dev = ((jnp.abs(exog.v_g - 1.0) > 1e-6)
+           | (jnp.abs(exog.dw_g) > 1e-9)
+           | (jnp.abs(exog.phi_g) > 1e-9)
+           | (jnp.abs(exog.s_irr - st.s0) > 1e-3)
+           | (exog.g_load > 1e-9) | (jnp.abs(exog.b_load) > 1e-9))
+    return dev.astype(dtype)
+
+
+def _post_window(cfg: EnvConfig, st: EnvState, exog, mppt, t, y1, flag):
     """Steps 4-5: post-window measurements, ride-through, obs/reward/done."""
     dtype = st.y.dtype
     dt = jnp.asarray(cfg.dt_ctrl, dtype)
@@ -365,6 +392,11 @@ def _post_window(cfg: EnvConfig, st: EnvState, exog, mppt, t, y1):
     obs = _obs(cfg, st1, g1, replace(exog, conn=1.0 - rt1.tripped), t_next)
     vdc = y1[6 * cfg.der.n_ph]
     reward = _reward(cfg, vdc, vdc_ref, g1.q_pcc, q_ref, v_mag1, trip_now)
+    if cfg.anomaly_detect:
+        anom = _anomaly_active(st, exog)
+        reward = reward + (flag * (anom * cfg.r_anom_tp
+                                   - (1.0 - anom) * cfg.r_anom_fp)
+                           - (1.0 - flag) * anom * cfg.r_anom_fn)
     terminated = rt1.tripped > 0.5
     truncated = st1.t_step >= cfg.horizon
     done = terminated | truncated
@@ -379,11 +411,11 @@ def _post_window(cfg: EnvConfig, st: EnvState, exog, mppt, t, y1):
 
 def step(cfg: EnvConfig, st: EnvState, action):
     """One control interval (SPEC.md §9). Reference analog: SURVEY.md §3.2."""
-    t, exog, mppt = _pre_window(cfg, st, action)
+    t, exog, mppt, flag = _pre_window(cfg, st, action)
     # 3. integrate the window (the hot loop; SURVEY §3.2)
     f = lambda y, tt: rhs_core.rhs(y, tt, st.der, exog, jnp)
     y1 = rk4_window(f, st.y, t, jnp.asarray(cfg.dt_ctrl, st.y.dtype), cfg.n_sub)
-    return _post_window(cfg, st, exog, mppt, t, y1)
+    return _post_window(cfg, st, exog, mppt, t, y1, flag)
 
 
 def step_autoreset(cfg: EnvConfig, st: EnvState, action):

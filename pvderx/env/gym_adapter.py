@@ -51,6 +51,8 @@ class PVDEREnv(_BASE):
                 self.action_space = spaces.Box(
                     low=-1.0, high=1.0, shape=(core.ACT_DIM_CONT,),
                     dtype=np.float32)
+            elif self.cfg.anomaly_detect:
+                self.action_space = spaces.Discrete(core.N_ACTIONS_ANOM)
             else:
                 self.action_space = spaces.Discrete(core.N_ACTIONS)
             self.observation_space = spaces.Box(

@@ -56,7 +56,7 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
     if _use_pallas(window, n, block):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch)
-        t, exog, mppt = jax.vmap(
+        t, exog, mppt, flag = jax.vmap(
             lambda s, a: core._pre_window(cfg, s, a))(state, actions)
         y1 = rk4_window_batch(
             state.y, t, pack_struct(state.der, P_FIELDS),
@@ -64,8 +64,9 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
             n_ph=cfg.der.n_ph, n_sub=cfg.n_sub, dt=cfg.dt_ctrl, block=block,
             interpret=jax.default_backend() == "cpu")
         out = jax.vmap(
-            lambda s, e, m, tt, yy: core._post_window(cfg, s, e, m, tt, yy),
-        )(state, exog, mppt, t, y1)
+            lambda s, e, m, tt, yy, fl: core._post_window(
+                cfg, s, e, m, tt, yy, fl),
+        )(state, exog, mppt, t, y1, flag)
     else:
         out = jax.vmap(lambda s, a: core.step(cfg, s, a))(state, actions)
 

@@ -1,0 +1,70 @@
+"""Worker for the simulated 2-process multi-host test (SURVEY.md §4 item 4).
+
+Launched twice by tests/test_dist.py::test_two_process_distributed_rollout
+(once per process id). Each process owns 4 virtual CPU devices; the global
+mesh spans 8 devices across both processes; the env batch is sharded over it
+and stepped; per-step rewards are allgathered and checksummed against a
+purely-local reference computation. Exercises: jax.distributed.initialize,
+global mesh construction, make_array_from_process_local_data, cross-process
+collectives (Gloo on CPU; ICI/DCN on real pods).
+
+Usage: python multihost_launch.py <process_id> <coordinator_port>
+"""
+import os
+import sys
+
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from pvderx.dist import (  # noqa: E402
+    global_mesh, init_multihost, make_global_array, process_env_slice,
+    sync_hosts)
+
+init_multihost(coordinator_address=f"localhost:{port}", num_processes=2,
+               process_id=proc_id)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+
+from pvderx.env import make_env_config  # noqa: E402
+from pvderx.env.vector import make_batch_fns  # noqa: E402
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+N = 16
+cfg = make_env_config("10", n_sub=40, horizon=50)
+mesh = global_mesh()
+
+keys_np = np.asarray(jax.random.split(jax.random.PRNGKey(0), N))
+sl = process_env_slice(N)
+keys = make_global_array(keys_np[sl], mesh, N)
+
+rb, sb = make_batch_fns(cfg, donate=False, window="scan")
+st, obs = rb(keys)
+acts_np = np.zeros((N,), np.int32)
+acts = make_global_array(acts_np[sl], mesh, N)
+total = None
+for k in range(5):
+    st, obs, rew, done, info = sb(st, acts)
+    r = multihost_utils.process_allgather(rew, tiled=True)
+    total = r if total is None else total + r
+
+# purely-local reference on this process's own devices (no sharding)
+rb_l, sb_l = make_batch_fns(cfg, donate=False, window="scan")
+st_l, _ = rb_l(jnp.asarray(keys_np))
+total_l = None
+for k in range(5):
+    st_l, _, rew_l, _, _ = sb_l(st_l, jnp.asarray(acts_np))
+    total_l = rew_l if total_l is None else total_l + rew_l
+
+err = float(np.max(np.abs(np.asarray(total) - np.asarray(total_l))))
+sync_hosts("done")
+print(f"RESULT proc={proc_id} err={err:.3e} "
+      f"ok={err == 0.0}", flush=True)

@@ -119,3 +119,22 @@ def test_process_env_slice_single_process():
     assert (sl.start, sl.stop) == (0, 64)
     with pytest.raises(ValueError):
         process_env_slice(63) if jax.process_count() > 1 else (_ for _ in ()).throw(ValueError())
+
+
+def test_two_process_distributed_rollout(tmp_path):
+    """Simulated multi-host (SURVEY §4 item 4): 2 localhost processes x 4
+    virtual devices, global 8-device mesh, env batch sharded across processes;
+    rewards must equal a purely-local computation bitwise."""
+    import subprocess, sys, os
+    script = os.path.join(os.path.dirname(__file__), "multihost_launch.py")
+    port = "46123"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, script, str(i), port],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env)
+             for i in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"RESULT proc={i}" in out and "ok=True" in out, out[-3000:]

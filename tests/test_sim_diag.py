@@ -121,3 +121,28 @@ def test_checkpoint_resume_bitwise(tmp_path):
     for a, b in zip(jax.tree.leaves(r1), jax.tree.leaves(r2)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_checked_step_catches_nan():
+    """Sanitizer analog (SURVEY §5): checkify reifies bad states under jit."""
+    from pvderx.diag.debug import checked_step
+    from pvderx.env import core, make_env_config
+
+    cfg = make_env_config("10", n_sub=40)
+    st, _ = core.reset(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(checked_step(cfg))
+    err, out = step(st, jnp.int32(0))
+    err.throw()  # clean step: no error
+    from pvderx._pytree import replace
+    bad = replace(st, y=st.y.at[0].set(jnp.nan))
+    err2, _ = step(bad, jnp.int32(0))
+    with pytest.raises(Exception, match="non-finite"):
+        err2.throw()
+
+
+def test_debug_mode_restores_config():
+    from pvderx.diag.debug import debug_mode
+    before = jax.config.jax_debug_nans
+    with debug_mode():
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == before
