@@ -298,6 +298,15 @@ def reset(cfg: EnvConfig, key):
     return replace(st, obs0=obs), obs
 
 
+def unalias(st: EnvState) -> EnvState:
+    """Copy the cached episode-initial buffers that alias live state out of
+    `reset` (y0 <- y, obs0 <- the returned obs, ppv0 <- mppt.p_prev) so a
+    learner runner holding this state can be donated — XLA rejects donating
+    the same buffer twice in one Execute()."""
+    cp = lambda x: jnp.array(x, copy=True)
+    return replace(st, y0=cp(st.y0), obs0=cp(st.obs0), ppv0=cp(st.ppv0))
+
+
 def _soft_reset(cfg: EnvConfig, st: EnvState):
     """Episode restart reusing the cached steady state + initial observation;
     fresh draws only for the mid-episode events (hot path: runs every batched

@@ -1,9 +1,11 @@
-from pvderx.learn.nets import ActorCritic, DoubleCritic, TanhGaussianActor
+from pvderx.learn.dqn import DQNConfig, DQNRunner, make_dqn
+from pvderx.learn.nets import ActorCritic, DoubleCritic, QNetwork, TanhGaussianActor
 from pvderx.learn.ppo import PPOConfig, make_ppo, PPORunner
 from pvderx.learn.sac import SACConfig, SACRunner, make_sac
 
 __all__ = [
-    "ActorCritic", "DoubleCritic", "TanhGaussianActor",
+    "ActorCritic", "DoubleCritic", "QNetwork", "TanhGaussianActor",
+    "DQNConfig", "make_dqn", "DQNRunner",
     "PPOConfig", "make_ppo", "PPORunner",
     "SACConfig", "make_sac", "SACRunner",
 ]

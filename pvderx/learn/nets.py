@@ -29,6 +29,25 @@ class ActorCritic(nn.Module):
         return logits, jnp.squeeze(value, -1)
 
 
+class QNetwork(nn.Module):
+    """State-action value MLP for DQN (reference-demo parity: the upstream
+    notebooks train stable-baselines DQN, SURVEY.md §2.1 #13)."""
+
+    n_actions: int
+    hidden: tuple = (128, 128)
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ortho = nn.initializers.orthogonal
+        h = x.astype(self.dtype)
+        for w in self.hidden:
+            h = nn.relu(nn.Dense(w, kernel_init=ortho(np.sqrt(2)),
+                                 dtype=self.dtype)(h))
+        return nn.Dense(self.n_actions, kernel_init=ortho(1.0),
+                        dtype=self.dtype)(h)
+
+
 LOG_STD_MIN, LOG_STD_MAX = -5.0, 2.0
 
 

@@ -75,8 +75,8 @@ def make_ppo(env_cfg: env_core.EnvConfig, ppo: PPOConfig,
         opt_state = tx.init(params)
         env_state, obs = jax.vmap(lambda k: env_core.reset(env_cfg, k))(
             jax.random.split(k_env, n_envs))
-        # break the y/y0 buffer alias from reset so the runner can be donated
-        env_state = replace(env_state, y0=jnp.array(env_state.y0, copy=True))
+        # break the cached-initial-buffer aliases from reset (donation-safe)
+        env_state = env_core.unalias(env_state)
         return PPORunner(params=params, opt_state=opt_state,
                          env_state=env_state, obs=obs, key=k_run,
                          update_i=jnp.zeros((), jnp.int32))

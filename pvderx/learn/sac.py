@@ -104,7 +104,8 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
         critic = critic_net.init(k_c, zo, za)
         env_state, obs = jax.vmap(lambda k: env_core.reset(env_cfg, k))(
             jax.random.split(k_env, n_envs))
-        env_state = replace(env_state, y0=jnp.array(env_state.y0, copy=True))
+        # break the cached-initial-buffer aliases from reset (donation-safe)
+        env_state = env_core.unalias(env_state)
         cap = sac.capacity
         replay = Replay(
             obs=jnp.zeros((cap, obs_dim), dtype),
