@@ -11,7 +11,9 @@ Three file kinds:
 
 - DER params:  {"preset": "10", "overrides": {...}}  or  {"fields": {...}}
                (full flat DERParams field map, as written by `save_der`)
-- scenario:    {"solar": [[t, S, T], ...], "grid": [[t, V, phi, dw], ...],
+- scenario:    {"solar": [[t, S, T], ...],
+                "grid": [[t, V, phi, dw, V2, phi2], ...]   (V2/phi2 optional:
+                         negative-sequence unbalance, 3-phase models),
                 "load": [[t, G, B], ...]}  -> EventBuilder -> EventSchedule
 - env config:  kwargs for `make_env_config` (+ optional "scen" ranges and
                "der" block of either DER form above)

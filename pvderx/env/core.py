@@ -58,6 +58,8 @@ class ScenarioConfig:
     sag_dur_hi: float = 1.5
     p_freq: float = 0.15      # P(grid frequency excursion), exclusive with sag
     df_max: float = 0.025     # max |freq deviation| [pu]
+    p_unb: float = 0.0        # P(sag is unbalanced | sag), 3-phase only
+    unb_frac: float = 0.5     # neg-seq magnitude as fraction of the sag drop
     p_cloud: float = 0.5      # P(insolation step)
     cloud_frac_lo: float = 0.2
     cloud_frac_hi: float = 0.9
@@ -177,7 +179,7 @@ def make_env_config(
 def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
     """Random mid-episode events on top of the fixed t=0 baseline (SPEC §9)."""
     sc = cfg.scen
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 14)
     inf = jnp.asarray(jnp.inf, dtype)
     zero = jnp.zeros((), dtype)
     one = jnp.ones((), dtype)
@@ -209,11 +211,18 @@ def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
     t_evt = jnp.where(is_sag + is_freq > 0, t_g, inf)
     v_evt = jnp.where(is_sag > 0, depth, one)
     dw_evt = jnp.where(is_freq > 0, dw, zero)
+    # unbalanced sag (3-phase models; the 1-phase RHS ignores v2): neg-seq
+    # magnitude proportional to the sag drop, random relative angle
+    n_ph3 = jnp.asarray(float(cfg.der.n_ph == 3), dtype)
+    is_unb = (jax.random.uniform(ks[12], (), dtype) < sc.p_unb).astype(dtype)
+    v2_evt = is_sag * is_unb * n_ph3 * sc.unb_frac * (one - depth)
+    phi2 = jax.random.uniform(ks[13], (), dtype, minval=0.0,
+                              maxval=2.0 * math.pi)
     grid = jnp.stack([
-        jnp.stack([zero, one, zero, zero]),
-        jnp.stack([t_evt, v_evt, zero, dw_evt]),
-        jnp.stack([t_evt + dur_g, one, zero, zero]),
-        jnp.stack([inf, one, zero, zero]),
+        jnp.stack([zero, one, zero, zero, zero, zero]),
+        jnp.stack([t_evt, v_evt, zero, dw_evt, v2_evt, phi2]),
+        jnp.stack([t_evt + dur_g, one, zero, zero, zero, zero]),
+        jnp.stack([inf, one, zero, zero, zero, zero]),
     ])
 
     # --- load: baseline + optional step ------------------------------------
@@ -374,6 +383,7 @@ def _anomaly_active(st: EnvState, exog) -> jnp.ndarray:
     (nominal grid, s0 insolation, no load). Branchless, from the ZOH exog."""
     dtype = st.y.dtype
     dev = ((jnp.abs(exog.v_g - 1.0) > 1e-6)
+           | (exog.v_g2 > 1e-9)
            | (jnp.abs(exog.dw_g) > 1e-9)
            | (jnp.abs(exog.phi_g) > 1e-9)
            | (jnp.abs(exog.s_irr - st.s0) > 1e-3)
@@ -409,8 +419,10 @@ def _post_window(cfg: EnvConfig, st: EnvState, exog, mppt, t, y1, flag):
     terminated = rt1.tripped > 0.5
     truncated = st1.t_step >= cfg.horizon
     done = terminated | truncated
+    v2 = rhs_core.neg_seq(g1.v, cfg.der.n_ph, jnp)
     info = {
         "vdc": vdc, "v_mag": v_mag1, "f_meas": g1.f_meas,
+        "v_unb": jnp.hypot(v2.re, v2.im),   # PCC neg-seq voltage magnitude
         "p_pcc": g1.p_pcc, "q_pcc": g1.q_pcc, "p_pv": g1.p_pv,
         "tripped": rt1.tripped, "trip_now": trip_now,
         "terminated": terminated, "truncated": truncated,

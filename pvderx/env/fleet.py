@@ -55,6 +55,7 @@ def _fleet_exog(sched: EventSchedule, t, m: int, vdc_ref, q_ref, conn, ces) -> E
     return Exog(
         s_irr=bc(sh.s_irr), t_cell=bc(sh.t_cell), v_g=bc(sh.v_g),
         phi_g=bc(sh.phi_g), dw_g=bc(sh.dw_g), t_g=bc(sh.t_g),
+        v_g2=bc(sh.v_g2), phi_g2=bc(sh.phi_g2),
         g_load=bc(sh.g_load), b_load=bc(sh.b_load),
         vdc_ref=vdc_ref, q_ref=q_ref, conn=conn, ces=ces,
         p_ref=jnp.zeros_like(vdc_ref),

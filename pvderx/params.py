@@ -86,10 +86,16 @@ class Exog:
 
     s_irr: float    # insolation [W/m^2]
     t_cell: float   # cell temperature [K]
-    v_g: float      # grid voltage magnitude [pu]
+    v_g: float      # grid voltage magnitude, positive sequence [pu]
     phi_g: float    # grid voltage angle [rad]
     dw_g: float     # grid frequency deviation [pu]
     t_g: float      # activation time of current grid event [s]
+    # unbalanced grid source (three-phase only; ignored for n_ph == 1):
+    # negative-sequence component in symmetric-component form — covers
+    # unbalanced sags (SLG/LL faults seen through a delta transformer block
+    # zero-sequence, so pos+neg sequence is the standard representation)
+    v_g2: float     # negative-sequence magnitude [pu]
+    phi_g2: float   # negative-sequence angle relative to phi_g [rad]
     g_load: float   # local load conductance [pu]
     b_load: float   # local load susceptance [pu]
     vdc_ref: float  # [pu]
@@ -106,6 +112,7 @@ def nominal_exog(vdc_ref: float = 1.0, q_ref: float = 0.0,
                  p_ref: float = 0.0) -> Exog:
     return Exog(
         s_irr=1000.0, t_cell=T_REF, v_g=1.0, phi_g=0.0, dw_g=0.0, t_g=0.0,
+        v_g2=0.0, phi_g2=0.0,
         g_load=0.0, b_load=0.0, vdc_ref=vdc_ref, q_ref=q_ref, conn=1.0, ces=0.0,
         p_ref=p_ref,
     )

@@ -213,6 +213,8 @@ class Prep(NamedTuple):
     en: object      # conn·(1-ces)
     iph: object     # photo-current of the diode model
     a_k: object     # phase rotators exp(j·phi_k) (None for n_ph == 1)
+    v2: object      # neg-seq source phasor v_g2·e^{j·phi_g2}·conj(a_k) [n_ph]
+                    # (None for n_ph == 1 — unbalance needs three phases)
 
 
 def prep_invariants(p, u, xp, bdims: int = 0) -> Prep:
@@ -221,9 +223,12 @@ def prep_invariants(p, u, xp, bdims: int = 0) -> Prep:
     y_tot = C(y_g.re + u.g_load, y_g.im + u.b_load)
     en = u.conn * (1.0 - u.ces)
     iph = photo_current(u.s_irr, u.t_cell, p)
-    a_k = (None if p.n_ph == 1 else
-           cexpj(_shift_angles(p.n_ph, xp, None, bdims), xp))
-    return Prep(y_g=y_g, y_tot=y_tot, en=en, iph=iph, a_k=a_k)
+    if p.n_ph == 1:
+        a_k = v2 = None
+    else:
+        a_k = cexpj(_shift_angles(p.n_ph, xp, None, bdims), xp)
+        v2 = cscale(cmul(cexpj(u.phi_g2, xp), cconj(a_k)), u.v_g2)
+    return Prep(y_g=y_g, y_tot=y_tot, en=en, iph=iph, a_k=a_k, v2=v2)
 
 
 def pcc_voltage(i_inj, t, p, u, xp, prep: Prep | None = None) -> C:
@@ -234,11 +239,18 @@ def pcc_voltage(i_inj, t, p, u, xp, prep: Prep | None = None) -> C:
     n_ph = p.n_ph
     if prep is None:
         prep = prep_invariants(p, u, xp, getattr(i_inj.re, "ndim", 1) - 1)
-    v_gpos = cscale(cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp), u.v_g)
+    rot = cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp)
+    v_gpos = cscale(rot, u.v_g)
     # n_ph == 1: a_k = exp(j·0) = 1+0j — multiplying by it is a bitwise
     # identity in IEEE arithmetic, so skip it (broadcasting against i_inj's
-    # leading phase axis keeps shapes); big win inside the window kernel
-    v_g = v_gpos if n_ph == 1 else cmul(v_gpos, prep.a_k)
+    # leading phase axis keeps shapes); big win inside the window kernel.
+    # n_ph == 3: both sequence components rotate with the common grid phase
+    # `rot` (the grid is one unbalanced three-phase source at grid frequency);
+    # the neg-seq phasor prep.v2 is window-invariant (SPEC.md §4.2).
+    if n_ph == 1:
+        v_g = v_gpos
+    else:
+        v_g = cadd(cmul(v_gpos, prep.a_k), cmul(rot, prep.v2))
     return cdiv(cadd(cmul(v_g, prep.y_g), i_inj), prep.y_tot)
 
 
@@ -355,6 +367,17 @@ def rhs_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None):
     """dy/dt with an externally supplied PCC voltage (fleet coupling)."""
     g = algebra_given_v(y, t, p, u, v, xp, prep)
     return rhs_from_algebra(y, t, p, u, g, xp, prep)
+
+
+def neg_seq(x: C, n_ph: int, xp) -> C:
+    """Negative-sequence component of a per-phase phasor set [n_ph]:
+    mean_k(x_k·a_k), the inverse of the conj(a_k) pos-seq extraction in
+    `algebra_given_v`. Zero for n_ph == 1. Diagnostics/observations only —
+    never evaluated inside the RHS hot loop."""
+    if n_ph == 1:
+        return C(0.0 * x.re[0], 0.0 * x.im[0])
+    a_k = cexpj(_shift_angles(n_ph, xp, None, getattr(x.re, "ndim", 1) - 1), xp)
+    return cmean(cmul(x, a_k), xp)
 
 
 def steady_state_guess(p, u, xp):

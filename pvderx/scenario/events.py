@@ -20,7 +20,8 @@ from pvderx.params import Exog, T_REF
 
 # column layouts
 SOLAR_COLS = 3   # (t, S_irr, T_cell)
-GRID_COLS = 4    # (t, V_g, phi_g, dw_g)
+GRID_COLS = 6    # (t, V_g, phi_g, dw_g, V_g2, phi_g2) — V_g2/phi_g2 are the
+                 # negative-sequence (unbalance) component, 3-phase only
 LOAD_COLS = 3    # (t, G_load, B_load)
 
 
@@ -29,7 +30,7 @@ class EventSchedule:
     """Per-env dense event tables (leaves; batch by stacking on axis 0)."""
 
     solar: jnp.ndarray  # [K_s, 3]
-    grid: jnp.ndarray   # [K_g, 4]
+    grid: jnp.ndarray   # [K_g, 6]
     load: jnp.ndarray   # [K_l, 3]
 
 
@@ -48,7 +49,7 @@ def make_exog(sched: EventSchedule, t, vdc_ref, q_ref, conn, ces,
     l = active_row(sched.load, t)
     return Exog(
         s_irr=s[1], t_cell=s[2],
-        v_g=g[1], phi_g=g[2], dw_g=g[3], t_g=g[0],
+        v_g=g[1], phi_g=g[2], dw_g=g[3], t_g=g[0], v_g2=g[4], phi_g2=g[5],
         g_load=l[1], b_load=l[2],
         vdc_ref=vdc_ref, q_ref=q_ref, conn=conn, ces=ces,
         p_ref=vdc_ref * 0.0 if p_ref is None else p_ref,
@@ -67,14 +68,17 @@ class EventBuilder:
     def __init__(self, s_irr=1000.0, t_cell=T_REF, v=1.0, phi=0.0, dw=0.0,
                  g_load=0.0, b_load=0.0):
         self._solar = [(0.0, s_irr, t_cell)]
-        self._grid = [(0.0, v, phi, dw)]
+        self._grid = [(0.0, v, phi, dw, 0.0, 0.0)]
         self._load = [(0.0, g_load, b_load)]
 
     def add_solar_event(self, t, s_irr, t_cell=T_REF):
         self._solar.append((float(t), float(s_irr), float(t_cell)))
 
-    def add_grid_event(self, t, v=1.0, phi=0.0, dw=0.0):
-        self._grid.append((float(t), float(v), float(phi), float(dw)))
+    def add_grid_event(self, t, v=1.0, phi=0.0, dw=0.0, v2=0.0, phi2=0.0):
+        """v2/phi2: negative-sequence magnitude/angle (unbalanced sag,
+        three-phase models only)."""
+        self._grid.append((float(t), float(v), float(phi), float(dw),
+                           float(v2), float(phi2)))
 
     def add_load_event(self, t, g_load=0.0, b_load=0.0):
         self._load.append((float(t), float(g_load), float(b_load)))
@@ -90,6 +94,8 @@ class EventBuilder:
 
     @staticmethod
     def _table(rows, k, cols, dtype):
+        # pad short rows (e.g. 4-column grid rows from pre-unbalance configs)
+        rows = [tuple(r) + (0.0,) * (cols - len(r)) for r in rows]
         rows = sorted(rows, key=lambda r: r[0])
         if len(rows) > k:
             raise ValueError(f"{len(rows)} events exceed table size {k}")
