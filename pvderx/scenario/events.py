@@ -103,9 +103,17 @@ class EventBuilder:
         out[: len(rows)] = np.asarray(rows, dtype=dtype)
         return jnp.asarray(out)
 
-    def build(self, k_solar=4, k_grid=4, k_load=2, dtype=np.float32) -> EventSchedule:
+    def build(self, k_solar=None, k_grid=None, k_load=None,
+              dtype=np.float32) -> EventSchedule:
+        """Build the dense tables. Table sizes are static (jit) shapes; when
+        omitted they auto-size to the scripted events (reference parity: no
+        fixed event limit). Pass explicit sizes to match a batched env config
+        (cfg.k_solar/k_grid/k_load)."""
+        k_s = max(len(self._solar), 2) if k_solar is None else k_solar
+        k_g = max(len(self._grid), 2) if k_grid is None else k_grid
+        k_l = max(len(self._load), 2) if k_load is None else k_load
         return EventSchedule(
-            solar=self._table(self._solar, k_solar, SOLAR_COLS, dtype),
-            grid=self._table(self._grid, k_grid, GRID_COLS, dtype),
-            load=self._table(self._load, k_load, LOAD_COLS, dtype),
+            solar=self._table(self._solar, k_s, SOLAR_COLS, dtype),
+            grid=self._table(self._grid, k_g, GRID_COLS, dtype),
+            load=self._table(self._load, k_l, LOAD_COLS, dtype),
         )

@@ -92,3 +92,26 @@ def test_disconnected_settles_at_open_circuit():
     vdc = y[6 * n]
     assert vdc > 1.1                                  # risen toward Voc
     assert rhs_core.pv_power(vdc, 1000.0, 298.15, p, np) < 0.02
+
+
+@pytest.mark.parametrize("preset", ["10", "50"])
+def test_rhs_jacobian_matches_finite_differences(preset):
+    """The public jac_ODE_model analog (physics.rhs_jacobian) agrees with
+    central finite differences of the RHS at a perturbed operating point."""
+    p = make_params(preset)
+    u = dataclasses.replace(nominal_exog(), v_g=0.9, q_ref=0.1)
+    ss = scipy_ref.steady_state(p, dataclasses.replace(u, q_ref=0.0))
+    pj, uj = p.astype(jnp.float64), u.astype(jnp.float64)
+    y = jnp.asarray(ss) * 1.01
+    t = jnp.float64(0.3)
+    jac = np.asarray(physics.rhs_jacobian(y, t, pj, uj))
+    assert jac.shape == (p.n_states, p.n_states)
+    eps = 1e-6
+    fd = np.empty_like(jac)
+    for j in range(p.n_states):
+        e = np.zeros(p.n_states); e[j] = eps
+        fp = np.asarray(physics.rhs(y + e, t, pj, uj))
+        fm = np.asarray(physics.rhs(y - e, t, pj, uj))
+        fd[:, j] = (fp - fm) / (2 * eps)
+    scale = np.maximum(np.abs(fd), 1.0)
+    assert np.max(np.abs(jac - fd) / scale) < 1e-5
