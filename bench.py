@@ -101,7 +101,9 @@ def bench_fleet(args, m: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="10")
-    ap.add_argument("--n-envs", type=int, default=8192)
+    ap.add_argument("--n-envs", type=int, default=16384,
+                    help="16384 measured best on one v5e (10.0M env-steps/s "
+                         "vs 8.9M at 8192; 32768 regresses)")
     ap.add_argument("--n-sub", type=int, default=105)
     ap.add_argument("--chunk", type=int, default=120, help="env steps per timed call")
     ap.add_argument("--reps", type=int, default=5)

@@ -169,6 +169,8 @@ def soft_limit_scale(mag, lim, xp):
     s = (1 + (mag/lim)^k)^(-1/k). Smooth (C-inf) so fixed-step RK4 and the
     adaptive oracle converge to the same trajectory (hard min() kinks leave an
     O(1e-5) integrator-dependent floor at limit-crossing events).
+    (A sqrt-chain form of x^(-1/16) was measured on a v5e and is NOT faster —
+    XLA/Mosaic already lowers these fixed powers well; keep the plain form.)
     """
     r = xp.minimum(mag / lim, 8.0)
     return (1.0 + r ** SAT_K) ** (-1.0 / SAT_K)
