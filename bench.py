@@ -101,11 +101,23 @@ def bench_fleet(args, m: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="10")
-    ap.add_argument("--n-envs", type=int, default=16384,
-                    help="16384 measured best on one v5e (10.0M env-steps/s "
-                         "vs 8.9M at 8192; 32768 regresses)")
-    ap.add_argument("--n-sub", type=int, default=105)
-    ap.add_argument("--chunk", type=int, default=120, help="env steps per timed call")
+    ap.add_argument("--n-envs", type=int, default=32768,
+                    help="v5e sweep at n_sub=72/chunk=480: 23.3M (8k) / "
+                         "26.2M (16k) / 27.3M (32k) / 27.8M (64k) "
+                         "env-steps/s — 32k is the knee")
+    ap.add_argument("--n-sub", type=int, default=72,
+                    help="RK4 substeps per 1/60 s window. 72 is the measured "
+                         "minimum keeping max-abs-err <= 6.0e-7 (< the 1e-6 "
+                         "contract) vs the LSODA truth oracle across all "
+                         "presets and the hardest scenarios (0.45 pu LVRT "
+                         "sag, unbalanced sag, freq excursion, cloud+load); "
+                         "n_sub=64 breaches 1e-6 on the 0.45 pu sag")
+    ap.add_argument("--chunk", type=int, default=480,
+                    help="env steps per timed call. This sandbox's TPU "
+                         "tunnel adds ~23 ms of dispatch overhead per jitted "
+                         "call (measured; absent on a directly-attached "
+                         "chip), so longer chunks amortize it: 120 -> 20.8M, "
+                         "480 -> 26.2M, 960 -> 27.3M env-steps/s at 16k envs")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--config", type=int, choices=sorted(BASELINE_CONFIGS),

@@ -179,19 +179,22 @@ def make_env_config(
 def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
     """Random mid-episode events on top of the fixed t=0 baseline (SPEC §9)."""
     sc = cfg.scen
-    ks = jax.random.split(key, 14)
+    # ONE batched draw instead of 14 key splits + 14 scalar draws: this runs
+    # every step under the autoreset select, and the threefry hashes were a
+    # visible fusion in the profiled step at 16k envs
+    uv = jax.random.uniform(key, (14,), dtype)
     inf = jnp.asarray(jnp.inf, dtype)
     zero = jnp.zeros((), dtype)
     one = jnp.ones((), dtype)
 
-    def u(k, lo, hi):
-        return jax.random.uniform(k, (), dtype, minval=lo, maxval=hi)
+    def u(i, lo, hi):
+        return lo + (hi - lo) * uv[i]
 
     # --- solar: baseline + optional cloud step + recovery ------------------
-    has_cloud = (jax.random.uniform(ks[0], (), dtype) < sc.p_cloud).astype(dtype)
-    t_c = u(ks[1], sc.sag_t_lo, sc.sag_t_hi)
-    s_c = s0 * u(ks[2], sc.cloud_frac_lo, sc.cloud_frac_hi)
-    dur_c = u(ks[3], 0.5, 3.0)
+    has_cloud = (uv[0] < sc.p_cloud).astype(dtype)
+    t_c = u(1, sc.sag_t_lo, sc.sag_t_hi)
+    s_c = s0 * u(2, sc.cloud_frac_lo, sc.cloud_frac_hi)
+    dur_c = u(3, 0.5, 3.0)
     t_c = jnp.where(has_cloud > 0, t_c, inf)
     solar = jnp.stack([
         jnp.stack([zero, s0, tc0]),
@@ -201,23 +204,22 @@ def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
     ])
 
     # --- grid: baseline + (sag | freq excursion | none) --------------------
-    r = jax.random.uniform(ks[4], (), dtype)
+    r = uv[4]
     is_sag = (r < sc.p_sag).astype(dtype)
     is_freq = ((r >= sc.p_sag) & (r < sc.p_sag + sc.p_freq)).astype(dtype)
-    t_g = u(ks[5], sc.sag_t_lo, sc.sag_t_hi)
-    depth = u(ks[6], sc.sag_depth_lo, sc.sag_depth_hi)
-    dur_g = u(ks[7], sc.sag_dur_lo, sc.sag_dur_hi)
-    dw = u(ks[8], -sc.df_max, sc.df_max)
+    t_g = u(5, sc.sag_t_lo, sc.sag_t_hi)
+    depth = u(6, sc.sag_depth_lo, sc.sag_depth_hi)
+    dur_g = u(7, sc.sag_dur_lo, sc.sag_dur_hi)
+    dw = u(8, -sc.df_max, sc.df_max)
     t_evt = jnp.where(is_sag + is_freq > 0, t_g, inf)
     v_evt = jnp.where(is_sag > 0, depth, one)
     dw_evt = jnp.where(is_freq > 0, dw, zero)
     # unbalanced sag (3-phase models; the 1-phase RHS ignores v2): neg-seq
     # magnitude proportional to the sag drop, random relative angle
     n_ph3 = jnp.asarray(float(cfg.der.n_ph == 3), dtype)
-    is_unb = (jax.random.uniform(ks[12], (), dtype) < sc.p_unb).astype(dtype)
+    is_unb = (uv[12] < sc.p_unb).astype(dtype)
     v2_evt = is_sag * is_unb * n_ph3 * sc.unb_frac * (one - depth)
-    phi2 = jax.random.uniform(ks[13], (), dtype, minval=0.0,
-                              maxval=2.0 * math.pi)
+    phi2 = u(13, 0.0, 2.0 * math.pi)
     grid = jnp.stack([
         jnp.stack([zero, one, zero, zero, zero, zero]),
         jnp.stack([t_evt, v_evt, zero, dw_evt, v2_evt, phi2]),
@@ -226,9 +228,9 @@ def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
     ])
 
     # --- load: baseline + optional step ------------------------------------
-    has_load = (jax.random.uniform(ks[9], (), dtype) < sc.p_load).astype(dtype)
-    t_l = jnp.where(has_load > 0, u(ks[10], sc.sag_t_lo, sc.sag_t_hi), inf)
-    g_l = u(ks[11], 0.05, sc.load_g_hi)
+    has_load = (uv[9] < sc.p_load).astype(dtype)
+    t_l = jnp.where(has_load > 0, u(10, sc.sag_t_lo, sc.sag_t_hi), inf)
+    g_l = u(11, 0.05, sc.load_g_hi)
     load = jnp.stack([
         jnp.stack([zero, zero, zero]),
         jnp.stack([t_l, g_l, zero]),
@@ -238,11 +240,10 @@ def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
 
 def _jitter_params(key, der: DERParams, scen: ScenarioConfig, dtype) -> DERParams:
     """Per-env grid-impedance jitter (BASELINE config 4)."""
-    k1, k2 = jax.random.split(key)
     j = scen.zg_jitter
-    rg = der.rg * (1.0 + j * jax.random.uniform(k1, (), dtype, minval=-1.0, maxval=1.0))
-    xg = der.xg * (1.0 + j * jax.random.uniform(k2, (), dtype, minval=-1.0, maxval=1.0))
-    return replace(der, rg=rg, xg=xg)
+    uv = jax.random.uniform(key, (2,), dtype, minval=-1.0, maxval=1.0)
+    return replace(der, rg=der.rg * (1.0 + j * uv[0]),
+                   xg=der.xg * (1.0 + j * uv[1]))
 
 
 # ---------------------------------------------------------------------------

@@ -51,15 +51,17 @@ def _use_pallas(window: str, n: int, block: int) -> bool:
 
 
 def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
-                     block: int, autoreset: bool):
+                     block: int, autoreset: bool, p_pack=None):
     n = state.y.shape[0]
     if _use_pallas(window, n, block):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch)
         t, exog, mppt, flag = jax.vmap(
             lambda s, a: core._pre_window(cfg, s, a))(state, actions)
+        if p_pack is None:
+            p_pack = pack_struct(state.der, P_FIELDS)
         y1 = rk4_window_batch(
-            state.y, t, pack_struct(state.der, P_FIELDS),
+            state.y, t, p_pack,
             pack_struct(exog, U_FIELDS),
             n_ph=cfg.der.n_ph, n_sub=cfg.n_sub, dt=cfg.dt_ctrl, block=block,
             interpret=jax.default_backend() == "cpu")
@@ -111,11 +113,20 @@ def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
     for very long horizons).
     """
 
+    # per-env params never change across steps (soft reset keeps der), so the
+    # [n_p, N] kernel packing is loop-invariant: pack once outside the scan
+    # instead of re-stacking 27 [N] fields in every step's body
+    p_pack = None
+    if _use_pallas(window, state.y.shape[0], block):
+        from pvderx.ops.window import P_FIELDS, pack_struct
+        p_pack = pack_struct(state.der, P_FIELDS)
+
     def body(carry, k):
         st, ob = carry
         acts = policy_fn(ob, k)
         st, ob, rew, done, _ = _step_batch_impl(
-            cfg, st, acts, window=window, block=block, autoreset=True)
+            cfg, st, acts, window=window, block=block, autoreset=True,
+            p_pack=p_pack)
         return (st, ob), (rew, done)
 
     keys = jax.random.split(key, n_steps)

@@ -35,10 +35,18 @@ class EventSchedule:
 
 
 def active_row(table, t):
-    """Last row with table[:,0] <= t (row 0 must be the t=0 baseline)."""
-    idx = jnp.sum(table[:, 0] <= t) - 1
-    idx = jnp.maximum(idx, 0)
-    return table[idx]
+    """Last row with table[:,0] <= t (row 0 must be the t=0 baseline).
+
+    Implemented as a one-hot masked sum, not `table[idx]`: rows are
+    time-sorted, so `t_k <= t` is prefix-true and `le & ~le_next` selects
+    exactly the last active row. Under vmap a dynamic `table[idx]` lowers to
+    a gather — measured 109 us per table per step at N=16k envs on a v5e,
+    3x per step = the single largest non-kernel cost; the masked sum is a
+    trivial elementwise fusion instead."""
+    le = table[:, 0] <= t
+    last = le & ~jnp.concatenate([le[1:], jnp.zeros((1,), bool)])
+    # where, not multiply: the +inf padding rows would give inf * 0 = NaN
+    return jnp.sum(jnp.where(last[:, None], table, 0.0), axis=0)
 
 
 def make_exog(sched: EventSchedule, t, vdc_ref, q_ref, conn, ces,
