@@ -61,7 +61,7 @@ BASELINE_CONFIGS = {
 
 
 def bench_fleet(args, m: int):
-    """Config 5: M inverters per env on a shared feeder."""
+    """Config 5: M inverters per env on a shared feeder (fused fleet kernel)."""
     import jax
     import jax.numpy as jnp
 
@@ -71,13 +71,14 @@ def bench_fleet(args, m: int):
     fc = fleet.make_fleet_config(args.preset, m=m, n_sub=args.n_sub)
     reset_b = jax.jit(jax.vmap(lambda k: fleet.reset(fc, k)))
     st, obs = reset_b(jax.random.split(jax.random.PRNGKey(0), n))
+    block = min(1024, n)
 
     def chunk(st, key):
         def body(carry, k):
             s = carry
             acts = jax.random.randint(k, (n,), 0, 5)
-            s, ob, r, d, _ = jax.vmap(
-                lambda ss, aa: fleet.step_autoreset(fc, ss, aa))(s, acts)
+            s, ob, r, d, _ = fleet._step_batch_impl(
+                fc, s, acts, window="auto", block=block, autoreset=True)
             return s, r
         keys = jax.random.split(key, args.chunk)
         st, rews = jax.lax.scan(body, st, keys)

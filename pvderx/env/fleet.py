@@ -45,6 +45,10 @@ class FleetState:
     y0: jnp.ndarray
     s0: jnp.ndarray
     tc0: jnp.ndarray
+    # cached episode-initial quantities (soft reset without re-evaluating the
+    # fleet algebra — the hot autoreset path, same design as env.core)
+    obs0: jnp.ndarray       # [OBS_DIM]
+    ppv0: jnp.ndarray       # [M]
 
 
 def _fleet_exog(sched: EventSchedule, t, m: int, vdc_ref, q_ref, conn, ces) -> Exog:
@@ -96,8 +100,11 @@ def reset(fc: FleetConfig, key):
     st = FleetState(der=der, sched=sched, y=y0,
                     t_step=jnp.zeros((), jnp.int32),
                     vdc_ref=vdc_ref, q_ref=q_ref, rt=rt, mppt=mppt,
-                    key=k_state, y0=y0, s0=s0, tc0=tc0)
-    return st, _obs(fc, st, g, fu, jnp.zeros((), dtype))
+                    key=k_state, y0=y0, s0=s0, tc0=tc0,
+                    obs0=jnp.zeros((OBS_DIM,), dtype),
+                    ppv0=jnp.asarray(g.p_pv, dtype))
+    obs = _obs(fc, st, g, fu, jnp.zeros((), dtype))
+    return replace(st, obs0=obs), obs
 
 
 def _obs(fc: FleetConfig, st: FleetState, g, fu: Exog, t_next):
@@ -119,8 +126,11 @@ def _obs(fc: FleetConfig, st: FleetState, g, fu: Exog, t_next):
     ]).astype(dtype)
 
 
-def step(fc: FleetConfig, st: FleetState, action):
-    """One control interval for the whole fleet (SPEC.md §11)."""
+def _pre_window(fc: FleetConfig, st: FleetState, action):
+    """Action + supervisory layer (steps 1-2); ZOH exog for the window.
+
+    Split from the integration so the batched path can swap in the fused
+    Pallas fleet kernel (pvderx/ops/window.rk4_fleet_window_batch)."""
     cfg, m = fc.base, fc.m
     dtype = st.y.dtype
     dt = jnp.asarray(cfg.dt_ctrl, dtype)
@@ -137,22 +147,27 @@ def step(fc: FleetConfig, st: FleetState, action):
 
     conn = 1.0 - st.rt.tripped
     fu = _fleet_exog(st.sched, t, m, vdc_ref, q_ref, conn, st.rt.ces)
-    g0 = fl.fleet_algebra(st.y, t, st.der, fu, jnp)
-    v_mag0 = jnp.hypot(g0.v_pos.re[0], g0.v_pos.im[0])
     mppt = st.mppt
-    if cfg.voltvar_enable:
-        q_ref = jnp.broadcast_to(voltvar_qref(v_mag0, cfg.q_vv), (m,))
-    if cfg.mppt_enable:
-        mppt, vdc_ref = jax.vmap(
-            lambda ms, vr, pp: mppt_update(ms, vr, pp, st.t_step, cfg.n_mppt)
-        )(mppt, vdc_ref, g0.p_pv)
-    fu = replace(fu, vdc_ref=vdc_ref, q_ref=q_ref)
+    if cfg.voltvar_enable or cfg.mppt_enable:
+        g0 = fl.fleet_algebra(st.y, t, st.der, fu, jnp)
+        if cfg.voltvar_enable:
+            v_mag0 = jnp.hypot(g0.v_pos.re[0], g0.v_pos.im[0])
+            q_ref = jnp.broadcast_to(voltvar_qref(v_mag0, cfg.q_vv), (m,))
+        if cfg.mppt_enable:
+            mppt, vdc_ref = jax.vmap(
+                lambda ms, vr, pp: mppt_update(ms, vr, pp, st.t_step,
+                                               cfg.n_mppt)
+            )(mppt, vdc_ref, g0.p_pv)
+        fu = replace(fu, vdc_ref=vdc_ref, q_ref=q_ref)
+    return t, fu, mppt
 
-    n_s = st.y.shape[-1]
-    f = lambda yf, tt: fl.fleet_rhs(yf.reshape(m, n_s), tt, st.der, fu, jnp
-                                    ).reshape(-1)
-    y1 = rk4_window(f, st.y.reshape(-1), t, dt, cfg.n_sub).reshape(m, n_s)
 
+def _post_window(fc: FleetConfig, st: FleetState, fu, mppt, t, y1):
+    """Post-window measurements, ride-through, obs/reward/done (steps 4-5)."""
+    cfg, m = fc.base, fc.m
+    dtype = st.y.dtype
+    dt = jnp.asarray(cfg.dt_ctrl, dtype)
+    vdc_ref, q_ref = fu.vdc_ref, fu.q_ref
     g1 = fl.fleet_algebra(y1, t + dt, st.der, fu, jnp)
     v_mag1 = jnp.hypot(g1.v_pos.re[0], g1.v_pos.im[0])
     rt1 = jax.vmap(lambda rt, fm: rt_update(rt, cfg.rt, v_mag1, fm, dt)
@@ -182,6 +197,19 @@ def step(fc: FleetConfig, st: FleetState, action):
     return st1, obs, reward, done, info
 
 
+def step(fc: FleetConfig, st: FleetState, action):
+    """One control interval for the whole fleet (SPEC.md §11)."""
+    cfg, m = fc.base, fc.m
+    t, fu, mppt = _pre_window(fc, st, action)
+    n_s = st.y.shape[-1]
+    f = lambda yf, tt: fl.fleet_rhs(yf.reshape(m, n_s), tt, st.der, fu, jnp
+                                    ).reshape(-1)
+    y1 = rk4_window(f, st.y.reshape(-1), t,
+                    jnp.asarray(cfg.dt_ctrl, st.y.dtype),
+                    cfg.n_sub).reshape(m, n_s)
+    return _post_window(fc, st, fu, mppt, t, y1)
+
+
 def step_autoreset(fc: FleetConfig, st: FleetState, action):
     st1, obs, reward, done, info = step(fc, st, action)
     st_r, obs_r = _soft_reset(fc, st1)
@@ -189,24 +217,83 @@ def step_autoreset(fc: FleetConfig, st: FleetState, action):
     return jax.tree.map(sel, st_r, st1), sel(obs_r, obs), reward, done, info
 
 
+# ---------------------------------------------------------------------------
+# batched fleet env (mirror of pvderx.env.vector for the fleet)
+# ---------------------------------------------------------------------------
+def _where_done(done, a, b):
+    d = done.reshape(done.shape + (1,) * (a.ndim - 1))
+    return jnp.where(d, a, b)
+
+
+def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
+                     block: int, autoreset: bool):
+    from pvderx.env.vector import _use_pallas
+    n = state.y.shape[0]
+    if _use_pallas(window, n, block):
+        from pvderx.ops.window import (
+            P_FIELDS, U_FIELDS, pack_struct, rk4_fleet_window_batch)
+        cfg, m = fc.base, fc.m
+        t, fu, mppt = jax.vmap(
+            lambda s, a: _pre_window(fc, s, a))(state, actions)
+        y1 = rk4_fleet_window_batch(
+            state.y, t, pack_struct(state.der, P_FIELDS),
+            pack_struct(fu, U_FIELDS),
+            n_ph=cfg.der.n_ph, m=m, n_sub=cfg.n_sub, dt=cfg.dt_ctrl,
+            block=block, interpret=jax.default_backend() == "cpu")
+        out = jax.vmap(
+            lambda s, e, mp, tt, yy: _post_window(fc, s, e, mp, tt, yy),
+        )(state, fu, mppt, t, y1)
+    else:
+        out = jax.vmap(lambda s, a: step(fc, s, a))(state, actions)
+
+    st1, obs, reward, done, info = out
+    if not autoreset:
+        return st1, obs, reward, done, info
+    st_r, obs_r = jax.vmap(lambda s: _soft_reset(fc, s))(st1)
+    from functools import partial as _partial
+    st2 = jax.tree.map(_partial(_where_done, done), st_r, st1)
+    obs2 = _where_done(done, obs_r, obs)
+    return st2, obs2, reward, done, info
+
+
+def make_fleet_batch_fns(fc: FleetConfig, autoreset: bool = True,
+                         donate: bool = True, window: str = "auto",
+                         block: int = 1024):
+    """Batched fleet env: (reset_batch(keys), step_batch(state, actions)).
+
+    window: "auto" | "pallas" | "scan" — pallas uses the fused rank-4 fleet
+    window kernel (ops/window.rk4_fleet_window_batch); scan is the vmapped
+    per-env `lax.scan` RK4 over the stacked [M*n_states] system. Both share
+    the identical physics core."""
+    from functools import partial as _partial
+
+    @jax.jit
+    def reset_batch(keys):
+        return jax.vmap(lambda k: reset(fc, k))(keys)
+
+    @_partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step_batch(state, actions):
+        return _step_batch_impl(fc, state, actions, window=window,
+                                block=block, autoreset=autoreset)
+
+    return reset_batch, step_batch
+
+
 def _soft_reset(fc: FleetConfig, st: FleetState):
+    """Episode restart from the cached steady state + initial observation
+    (no algebra evaluation — runs every batched step under the autoreset
+    select, same design as env.core._soft_reset)."""
     cfg, m = fc.base, fc.m
     dtype = st.y.dtype
     k_ev, k_next = jax.random.split(st.key)
     sched = env_core._sample_events(k_ev, cfg, st.s0, st.tc0, dtype)
-    vdc_ref = jnp.ones((m,), dtype)
-    q_ref = jnp.zeros((m,), dtype)
-    conn = jnp.ones((m,), dtype)
-    ces = jnp.zeros((m,), dtype)
-    fu = _fleet_exog(sched, jnp.zeros((), dtype), m, vdc_ref, q_ref, conn, ces)
-    g = fl.fleet_algebra(st.y0, jnp.zeros((), dtype), st.der, fu, jnp)
     from pvderx.scenario.mppt_voltvar import MPPTState
     st2 = replace(
         st, sched=sched, y=st.y0, t_step=jnp.zeros((), jnp.int32),
-        vdc_ref=vdc_ref, q_ref=q_ref,
+        vdc_ref=jnp.ones((m,), dtype), q_ref=jnp.zeros((m,), dtype),
         rt=RideThroughState(timers=jnp.zeros((m, 6), dtype),
                             tripped=jnp.zeros((m,), dtype),
                             ces=jnp.zeros((m,), dtype)),
-        mppt=MPPTState(p_prev=g.p_pv, direction=jnp.ones((m,), dtype)),
+        mppt=MPPTState(p_prev=st.ppv0, direction=jnp.ones((m,), dtype)),
         key=k_next)
-    return st2, _obs(fc, st2, g, fu, jnp.zeros((), dtype))
+    return st2, st.obs0

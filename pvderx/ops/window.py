@@ -80,6 +80,95 @@ def _to_tiles(a, n_rows, block):
     return a.reshape(n_rows, -1, LANE)
 
 
+def _fleet_window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, m,
+                         n_sub, h):
+    """Fused RK4 window for M coupled DERs per env (SPEC.md §11).
+
+    Blocks are rank-4 [field/state, M, R, 128]: unit index on axis 1,
+    environments on the (sublane, lane) axes. The shared-feeder coupling is
+    a mean over the M axis inside the RHS; `rhs_core` broadcasts the shared
+    PCC voltage [n_ph, 1, R, 128] against the per-unit states
+    [n_ph, M, R, 128] — identical arithmetic to `physics.fleet.fleet_rhs`
+    up to reduction order.
+    """
+    from pvderx.physics import rhs_core
+
+    y = y_ref[:]                      # [n_states, M, R, 128]
+    p = unpack_struct(DERParams, p_ref[:], P_FIELDS, n_ph=n_ph)
+    u = unpack_struct(Exog, u_ref[:], U_FIELDS)
+    t0 = t_ref[0, 0]                  # [R, 128] per-env window start time
+    # shared feeder quantities: unit 0's grid/load fields (identical across M
+    # by the fleet contract), kept as [1, R, 128] slices so shapes broadcast
+    shared = lambda l: l[0:1]
+    p_sh = jax.tree.map(shared, p)
+    u_sh = jax.tree.map(shared, u)
+    prep = rhs_core.prep_invariants(p, u, jnp, bdims=3)
+    prep_sh = rhs_core.prep_invariants(p_sh, u_sh, jnp, bdims=3)
+
+    def rhs_fleet(y, t):
+        i = rhs_core.C(y[0:n_ph], y[n_ph:2 * n_ph])
+        i_inj = rhs_core.C(jnp.mean(u.conn * i.re, axis=1, keepdims=True),
+                           jnp.mean(u.conn * i.im, axis=1, keepdims=True))
+        v = rhs_core.pcc_voltage(i_inj, t, p_sh, u_sh, jnp, prep_sh)
+        return rhs_core.rhs_given_v(y, t, p, u, v, jnp, prep)
+
+    def body(k, y):
+        t = t0 + k * h
+        k1 = rhs_fleet(y, t)
+        k2 = rhs_fleet(y + (0.5 * h) * k1, t + 0.5 * h)
+        k3 = rhs_fleet(y + (0.5 * h) * k2, t + 0.5 * h)
+        k4 = rhs_fleet(y + h * k3, t + h)
+        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    out_ref[:] = lax.fori_loop(0, n_sub, body, y)
+
+
+@partial(jax.jit, static_argnames=("n_ph", "m", "n_sub", "dt", "block",
+                                   "interpret"))
+def rk4_fleet_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, m: int,
+                           n_sub: int, dt: float, block: int = 1024,
+                           interpret: bool = False):
+    """Integrate N fleet envs (M units each) over one control window.
+
+    y: [N, M, n_states]; t0: [N]; p_pack: [n_p, N, M]; u_pack: [n_u, N, M].
+    Returns y1 [N, M, n_states]. Same tiling rules as rk4_window_batch;
+    default block is smaller because VMEM holds M copies of every field.
+    """
+    n, m_, n_s = y.shape
+    assert m_ == m
+    block = min(block, n)
+    if (block % MIN_BLOCK and block != n) or n % block:
+        raise ValueError(
+            f"N={n} must tile by block={block} (multiple of {MIN_BLOCK})")
+    h = dt / n_sub
+    rows = block // LANE
+    grid = (n // block,)
+    kernel = partial(_fleet_window_kernel, n_ph=n_ph, m=m, n_sub=n_sub, h=h)
+
+    def spec(n_rows):
+        return pl.BlockSpec((n_rows, m, rows, LANE), lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tiles(a, n_rows):
+        # [n_rows, N, M] -> [n_rows, M, N//128, 128]
+        return a.transpose(0, 2, 1).reshape(n_rows, m, -1, LANE)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(1), spec(n_s), spec(len(P_FIELDS)), spec(len(U_FIELDS))],
+        out_specs=spec(n_s),
+        out_shape=jax.ShapeDtypeStruct((n_s, m, n // LANE, LANE), y.dtype),
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(t0[None, None, :], (1, m, n)).reshape(1, m, -1, LANE),
+        tiles(y.transpose(2, 0, 1), n_s),
+        tiles(p_pack, len(P_FIELDS)),
+        tiles(u_pack, len(U_FIELDS)),
+    )
+    return out.reshape(n_s, m, n).transpose(2, 1, 0)
+
+
 MIN_BLOCK = 8 * LANE  # sublane (8) x lane (128) tile of one f32 vreg
 
 

@@ -96,3 +96,23 @@ def test_fleet_vmap_batch():
     stb, obsb, r, d, i = sb(stb, jnp.zeros((3,), jnp.int32))
     assert obsb.shape == (3, 13)
     assert np.all(np.isfinite(np.asarray(r)))
+
+
+def test_fleet_batch_pallas_matches_scan():
+    """Fused rank-4 fleet window kernel == vmapped scan path (interpret on CPU)."""
+    import numpy as np
+    from pvderx.env.fleet import make_fleet_batch_fns, make_fleet_config
+
+    fc = make_fleet_config("10", m=4, n_sub=40, horizon=50, dtype=jnp.float32)
+    n = 128
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    outs = {}
+    for window in ("scan", "pallas"):
+        rb, sb = make_fleet_batch_fns(fc, window=window, donate=False, block=128)
+        st, obs = rb(keys)
+        acts = jnp.arange(n, dtype=jnp.int32) % 5
+        for _ in range(3):
+            st, obs, rew, done, info = sb(st, acts)
+        outs[window] = (np.asarray(obs), np.asarray(rew), np.asarray(st.y))
+    for a, b in zip(outs["scan"], outs["pallas"]):
+        assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
