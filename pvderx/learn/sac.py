@@ -125,7 +125,14 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
             replay=replay, env_state=env_state, obs=obs, key=k_run,
             update_i=jnp.zeros((), jnp.int32))
 
-    step_env = jax.vmap(lambda s, a: env_core.step_autoreset(env_cfg, s, a))
+    # batched env step: fused Pallas window kernel on TPU when the batch
+    # tiles legally, vmapped scan elsewhere — same physics, same results
+    # (pvderx/env/vector.py; tested equal in tests/test_ops.py)
+    from pvderx.env.vector import _step_batch_impl
+
+    def step_env(s, a):
+        return _step_batch_impl(env_cfg, s, a, window="auto", block=4096,
+                                autoreset=True)
 
     def _collect(actor, env_state, obs, key):
         def body(carry, k):
