@@ -16,7 +16,7 @@ def main():
     ap.add_argument("--preset", default="10")
     ap.add_argument("--n-envs", type=int, default=1024)
     ap.add_argument("--updates", type=int, default=50)
-    ap.add_argument("--n-sub", type=int, default=105)
+    ap.add_argument("--n-sub", type=int, default=72)  # measured 1e-6 knee (SPEC §6)
     ap.add_argument("--voltvar", action="store_true", help="BASELINE config 2")
     ap.add_argument("--ckpt", default="", help="checkpoint dir (optional)")
     ap.add_argument("--metrics", default="/tmp/pvderx_ppo_metrics.jsonl")

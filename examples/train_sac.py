@@ -15,7 +15,7 @@ def main():
     ap.add_argument("--preset", default="10")
     ap.add_argument("--n-envs", type=int, default=256)
     ap.add_argument("--updates", type=int, default=50)
-    ap.add_argument("--n-sub", type=int, default=105)
+    ap.add_argument("--n-sub", type=int, default=72)  # measured 1e-6 knee (SPEC §6)
     ap.add_argument("--metrics", default="/tmp/pvderx_sac_metrics.jsonl")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

@@ -54,6 +54,39 @@ def compile_report(fn, *args, **kwargs) -> dict:
     return out
 
 
+def device_op_summary(logdir: str, top: int = 20) -> list:
+    """Summarize a captured trace: total device time per op name.
+
+    Parses the Chrome-trace JSON that `trace()` writes
+    (`<logdir>/plugins/profile/*/\\*.trace.json.gz`) and sums complete-event
+    durations on the TPU device track. This is how pvderx's own hot spots
+    were found (e.g. the per-env event-table gather that cost 109 us/step at
+    16k envs — see scenario/events.active_row). Returns a list of
+    (name, total_ms, count), largest first.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {logdir!r}; run trace() first")
+    with gzip.open(paths[-1]) as f:
+        events = json.load(f)["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, nm in pids.items() if "TPU" in nm or "/device" in nm}
+    if not dev:   # CPU backend traces have only a host track
+        dev = set(pids)
+    tot, cnt = collections.Counter(), collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev:
+            tot[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    return [(nm, d / 1e3, cnt[nm]) for nm, d in tot.most_common(top)]
+
+
 class Stopwatch:
     """Throughput timer for step-like fns with a (state, ...) -> (state, ...)
     signature: chains state through reps so the device cannot elide work.

@@ -146,3 +146,18 @@ def test_debug_mode_restores_config():
     with debug_mode():
         assert jax.config.jax_debug_nans is True
     assert jax.config.jax_debug_nans == before
+
+
+def test_device_op_summary(tmp_path):
+    from pvderx.diag import device_op_summary, trace
+
+    f = jax.jit(lambda x: jnp.sin(x).sum())
+    x = jnp.ones((256, 256))
+    f(x).block_until_ready()
+    with trace(str(tmp_path / "t")) as d:
+        f(x).block_until_ready()
+    rows = device_op_summary(d, top=10)
+    assert rows and all(len(r) == 3 for r in rows)
+    assert all(ms >= 0 and n >= 1 for _, ms, n in rows)
+    with pytest.raises(FileNotFoundError):
+        device_op_summary(str(tmp_path / "missing"))
