@@ -138,3 +138,18 @@ def test_two_process_distributed_rollout(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"RESULT proc={i}" in out and "ok=True" in out, out[-3000:]
+
+
+def test_sharded_pallas_window_matches_single_device(cfg):
+    """The fused Pallas window path must partition over the mesh (the
+    learners route rollout collection through it — see pvderx/learn/*)."""
+    N = 256
+    rb, sb = make_batch_fns(cfg, donate=False, window="pallas", block=N)
+    keys = jax.random.split(jax.random.PRNGKey(11), N)
+    st, obs = rb(keys)
+    acts = jnp.zeros((N,), jnp.int32)
+    o1 = sb(st, acts)[1]
+    mesh = make_mesh(8)
+    o8 = sb(shard_batch(st, mesh), shard_batch(acts, mesh))[1]
+    assert len(o8.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o8), atol=1e-5)
