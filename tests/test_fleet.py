@@ -116,3 +116,30 @@ def test_fleet_batch_pallas_matches_scan():
         outs[window] = (np.asarray(obs), np.asarray(rew), np.asarray(st.y))
     for a, b in zip(outs["scan"], outs["pallas"]):
         assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
+
+
+def test_fleet_batch_pallas_matches_scan_three_phase_unbalanced():
+    """Rank-4 fleet kernel with n_ph=3 and an unbalanced sag scheduled."""
+    import numpy as np
+    from pvderx.env import core
+    from pvderx.env.fleet import make_fleet_batch_fns, make_fleet_config
+
+    fc = make_fleet_config(
+        "50", m=2, n_sub=40, horizon=50, dtype=jnp.float32,
+        scen=core.ScenarioConfig(p_sag=1.0, p_unb=1.0, p_freq=0.0,
+                                 p_cloud=0.0, p_load=0.0, sag_t_lo=0.05,
+                                 sag_t_hi=0.1, sag_dur_lo=1.0, sag_dur_hi=1.5))
+    n = 128
+    keys = jax.random.split(jax.random.PRNGKey(9), n)
+    outs = {}
+    for window in ("scan", "pallas"):
+        rb, sb = make_fleet_batch_fns(fc, window=window, donate=False, block=128)
+        st, obs = rb(keys)
+        assert float(jnp.max(st.sched.grid[:, 1, 4])) > 0.0  # unbalance scheduled
+        acts = jnp.zeros((n,), jnp.int32)
+        for _ in range(8):   # steps past the sag onset (t ~ 0.05-0.1 s)
+            st, obs, rew, done, info = sb(st, acts)
+        outs[window] = (np.asarray(obs), np.asarray(st.y))
+    for a, b in zip(outs["scan"], outs["pallas"]):
+        assert np.isfinite(a).all()
+        assert np.allclose(a, b, atol=2e-5), np.abs(a - b).max()
