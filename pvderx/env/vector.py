@@ -11,8 +11,8 @@ interchangeable implementations:
               any backend/batch size; each substep round-trips HBM.
 - ``pallas``: the fused VMEM-resident window kernel (pvderx/ops/window.py) —
               one HBM read/write per *window* instead of per substep;
-              measured ~18x faster per window on a v5e at N=8192 (0.56 ms vs
-              ~10 ms for the 105-substep window).
+              ~0.53 ms/window at 16k envs / n_sub=72 on a v5e (~20x the XLA
+              per-substep scan path), ~50% VPU lane utilization.
 
 ``window="auto"`` picks pallas on TPU backends when the batch tiles legally.
 Both paths share the identical `rhs_core` physics and agree to f32 roundoff

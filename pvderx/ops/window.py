@@ -180,8 +180,10 @@ def rk4_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, n_sub: int,
     y: [N, n_states]; t0: [N]; p_pack: [n_p, N]; u_pack: [n_u, N].
     Returns y1 [N, n_states]. N must be a multiple of ``min(N, block)``,
     which must be a multiple of 1024 (8 sublanes x 128 lanes per f32 tile).
-    Measured on a v5e at N=8192, n_sub=105: block=4096 -> 0.56 ms/window
-    (14.7M env-window integrations/s), ~18x the XLA per-substep scan path.
+    Measured on a v5e (long-chunk amortized — see the tunnel-overhead note in
+    bench.py --help): ~7.4 us per substep across a 16k-env batch, i.e.
+    0.53 ms/window at n_sub=72 -> ~31M env-window integrations/s; block 2048
+    and 4096 tie, 8192+ regress (grid pipelining stops overlapping DMA).
     """
     n, n_s = y.shape
     block = min(block, n)
