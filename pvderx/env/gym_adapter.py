@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from pvderx.env import core
 
 _BASE = gym.Env if _HAS_GYM else object
+_VBASE = gym.vector.VectorEnv if _HAS_GYM else object
 
 
 class PVDEREnv(_BASE):
@@ -89,13 +90,107 @@ class PVDEREnv(_BASE):
                 f"tripped={bool(i['tripped'] > 0.5)}")
 
 
+class PVDERVectorEnv(_VBASE):
+    """Batched Gymnasium `VectorEnv` over the jitted TPU path.
+
+    The reference has no vectorized env (SURVEY.md §2.5: 1 env, 1 process);
+    this is the TPU-native extension that lets Gymnasium-based RL libraries
+    drive N jit(vmap)-stepped envs (Pallas window kernel on TPU) as one
+    vector env. Autoreset is SAME_STEP: when an episode ends, the returned
+    observation is already the reset one and `infos["final_obs"]` carries the
+    pre-reset observation (Gymnasium 1.x `AutoresetMode.SAME_STEP` contract).
+    """
+
+    metadata = {"autoreset_mode": (gym.vector.AutoresetMode.SAME_STEP
+                                   if _HAS_GYM else None)}
+
+    def __init__(self, num_envs: int, preset: str = "10", seed: int = 0,
+                 cfg: core.EnvConfig | None = None, window: str = "auto",
+                 block: int = 4096, **cfg_kw):
+        from functools import partial
+
+        from pvderx.env import vector
+
+        self.num_envs = int(num_envs)
+        self.cfg = cfg if cfg is not None else core.make_env_config(preset, **cfg_kw)
+        self.render_mode = None
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+
+        cfg_ = self.cfg
+
+        @jax.jit
+        def _reset(keys):
+            return jax.vmap(lambda k: core.reset(cfg_, k))(keys)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _step(state, actions):
+            st1, obs_f, rew, done, info = vector._step_batch_impl(
+                cfg_, state, actions, window=window, block=block,
+                autoreset=False)
+            st_r, obs_r = jax.vmap(lambda s: core._soft_reset(cfg_, s))(st1)
+            st2 = jax.tree.map(partial(vector._where_done, done), st_r, st1)
+            obs2 = vector._where_done(done, obs_r, obs_f)
+            return st2, obs2, obs_f, rew, done, info
+
+        self._reset_fn = _reset
+        self._step_fn = _step
+
+        if _HAS_GYM:
+            from gymnasium.vector.utils import batch_space
+            if cfg_.continuous:
+                self.single_action_space = spaces.Box(
+                    low=-1.0, high=1.0, shape=(core.ACT_DIM_CONT,),
+                    dtype=np.float32)
+            elif cfg_.anomaly_detect:
+                self.single_action_space = spaces.Discrete(core.N_ACTIONS_ANOM)
+            else:
+                self.single_action_space = spaces.Discrete(core.N_ACTIONS)
+            self.single_observation_space = spaces.Box(
+                low=-np.inf, high=np.inf, shape=(core.OBS_DIM,),
+                dtype=np.float32)
+            self.action_space = batch_space(self.single_action_space,
+                                            self.num_envs)
+            self.observation_space = batch_space(
+                self.single_observation_space, self.num_envs)
+
+    def reset(self, *, seed=None, options=None):
+        if seed is not None:
+            self._key = jax.random.PRNGKey(int(seed))
+        self._key, k = jax.random.split(self._key)
+        keys = jax.random.split(k, self.num_envs)
+        self._state, obs = self._reset_fn(keys)
+        return np.asarray(obs, np.float32), {}
+
+    def step(self, actions):
+        if self.cfg.continuous:
+            a = jnp.asarray(np.asarray(actions, np.float32))
+        else:
+            a = jnp.asarray(np.asarray(actions), jnp.int32)
+        self._state, obs, obs_final, rew, done, info = self._step_fn(
+            self._state, a)
+        info_np = {k: np.asarray(v) for k, v in info.items()}
+        terminated = info_np.pop("terminated")
+        truncated = info_np.pop("truncated")
+        if bool(np.any(done)):
+            info_np["final_obs"] = np.asarray(obs_final, np.float32)
+            info_np["_final_obs"] = np.asarray(done, bool)
+        return (np.asarray(obs, np.float32), np.asarray(rew, np.float32),
+                terminated, truncated, info_np)
+
+    def close_extras(self, **kwargs):
+        self._state = None
+
+
 def register_envs():
     """Register `pvderx/PVDER-v0` with Gymnasium (reference: `PVDER-v0`)."""
     if not _HAS_GYM:
         return
     from gymnasium.envs.registration import register, registry
     if "pvderx/PVDER-v0" not in registry:
-        register(id="pvderx/PVDER-v0", entry_point="pvderx.env.gym_adapter:PVDEREnv")
+        register(id="pvderx/PVDER-v0",
+                 entry_point="pvderx.env.gym_adapter:PVDEREnv",
+                 vector_entry_point="pvderx.env.gym_adapter:PVDERVectorEnv")
 
 
 if _HAS_GYM:
