@@ -48,7 +48,8 @@ def measure_oracle(preset: str, seconds: float = 3.0) -> float:
 BASELINE_CONFIGS = {
     # BASELINE.json configs 1-5 (see BASELINE.md)
     1: dict(preset="10", n_envs=1, cfg_kw={}),
-    2: dict(preset="50", n_envs=1024, cfg_kw=dict(voltvar_enable=True)),
+    2: dict(preset="50", n_envs=1024, n_sub=88,
+            cfg_kw=dict(voltvar_enable=True)),
     3: dict(preset="10", n_envs=8192,
             cfg_kw=dict(anomaly_detect=True,
                         scen=dict(p_sag=0.9, sag_depth_lo=0.2,
@@ -107,12 +108,13 @@ def main():
                          "26.2M (16k) / 27.3M (32k) / 27.8M (64k) "
                          "env-steps/s — 32k is the knee")
     ap.add_argument("--n-sub", type=int, default=72,
-                    help="RK4 substeps per 1/60 s window. 72 is the measured "
-                         "minimum keeping max-abs-err <= 6.0e-7 (< the 1e-6 "
-                         "contract) vs the LSODA truth oracle across all "
-                         "presets and the hardest scenarios (0.45 pu LVRT "
-                         "sag, unbalanced sag, freq excursion, cloud+load); "
-                         "n_sub=64 breaches 1e-6 on the 0.45 pu sag")
+                    help="RK4 substeps per 1/60 s window. Per-preset 1e-6 "
+                         "knees vs the LSODA truth oracle on the hardest "
+                         "scenario (sustained 0.45 pu sag, breaker held "
+                         "closed): 72 for preset 10 (6.0e-7; 64 breaches), "
+                         "88 for presets 50/250 (6.4e-7; 72 breaches at "
+                         "1.5e-6) — see SPEC.md §6 and "
+                         "benchmarks/integrator_study.py")
     ap.add_argument("--chunk", type=int, default=480,
                     help="env steps per timed call. This sandbox's TPU "
                          "tunnel adds ~23 ms of dispatch overhead per jitted "
@@ -140,6 +142,7 @@ def main():
         bc = BASELINE_CONFIGS[args.config]
         args.preset = bc["preset"]
         args.n_envs = bc["n_envs"]
+        args.n_sub = bc.get("n_sub", args.n_sub)
         fleet_m = bc.get("fleet_m")
         extra_cfg = dict(bc["cfg_kw"])
         if "scen" in extra_cfg:

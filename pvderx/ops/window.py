@@ -64,15 +64,23 @@ def _window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, n_sub, h):
     # (bitwise-identical arithmetic to the inline path — see rhs_core.Prep)
     prep = rhs_core.prep_invariants(p, u, jnp, bdims=2)
 
-    def body(k, y):
+    # the grid rotation phasor is a function of the stage *time* only: the RK4
+    # half-point is shared by k2/k3 and the endpoint is the next substep's
+    # start, so 2 cexpj per substep replace 4 (sin/cos were ~10% of the kernel)
+    def body(k, carry):
+        y, r1 = carry
         t = t0 + k * h
-        k1 = rhs_core.rhs(y, t, p, u, jnp, prep)
-        k2 = rhs_core.rhs(y + (0.5 * h) * k1, t + 0.5 * h, p, u, jnp, prep)
-        k3 = rhs_core.rhs(y + (0.5 * h) * k2, t + 0.5 * h, p, u, jnp, prep)
-        k4 = rhs_core.rhs(y + h * k3, t + h, p, u, jnp, prep)
-        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        rh = rhs_core.grid_rot(t + 0.5 * h, p, u, jnp)
+        r4 = rhs_core.grid_rot(t + h, p, u, jnp)
+        k1 = rhs_core.rhs(y, t, p, u, jnp, prep, r1)
+        k2 = rhs_core.rhs(y + (0.5 * h) * k1, t + 0.5 * h, p, u, jnp, prep, rh)
+        k3 = rhs_core.rhs(y + (0.5 * h) * k2, t + 0.5 * h, p, u, jnp, prep, rh)
+        k4 = rhs_core.rhs(y + h * k3, t + h, p, u, jnp, prep, r4)
+        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4), r4
 
-    out_ref[:] = lax.fori_loop(0, n_sub, body, y)
+    y1, _ = lax.fori_loop(
+        0, n_sub, body, (y, rhs_core.grid_rot(t0, p, u, jnp)))
+    out_ref[:] = y1
 
 
 def _to_tiles(a, n_rows, block):
@@ -105,22 +113,27 @@ def _fleet_window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, m,
     prep = rhs_core.prep_invariants(p, u, jnp, bdims=3)
     prep_sh = rhs_core.prep_invariants(p_sh, u_sh, jnp, bdims=3)
 
-    def rhs_fleet(y, t):
+    def rhs_fleet(y, t, rot):
         i = rhs_core.C(y[0:n_ph], y[n_ph:2 * n_ph])
         i_inj = rhs_core.C(jnp.mean(u.conn * i.re, axis=1, keepdims=True),
                            jnp.mean(u.conn * i.im, axis=1, keepdims=True))
-        v = rhs_core.pcc_voltage(i_inj, t, p_sh, u_sh, jnp, prep_sh)
+        v = rhs_core.pcc_voltage(i_inj, t, p_sh, u_sh, jnp, prep_sh, rot)
         return rhs_core.rhs_given_v(y, t, p, u, v, jnp, prep)
 
-    def body(k, y):
+    def body(k, carry):
+        y, r1 = carry
         t = t0 + k * h
-        k1 = rhs_fleet(y, t)
-        k2 = rhs_fleet(y + (0.5 * h) * k1, t + 0.5 * h)
-        k3 = rhs_fleet(y + (0.5 * h) * k2, t + 0.5 * h)
-        k4 = rhs_fleet(y + h * k3, t + h)
-        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        rh = rhs_core.grid_rot(t + 0.5 * h, p_sh, u_sh, jnp)
+        r4 = rhs_core.grid_rot(t + h, p_sh, u_sh, jnp)
+        k1 = rhs_fleet(y, t, r1)
+        k2 = rhs_fleet(y + (0.5 * h) * k1, t + 0.5 * h, rh)
+        k3 = rhs_fleet(y + (0.5 * h) * k2, t + 0.5 * h, rh)
+        k4 = rhs_fleet(y + h * k3, t + h, r4)
+        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4), r4
 
-    out_ref[:] = lax.fori_loop(0, n_sub, body, y)
+    y1, _ = lax.fori_loop(
+        0, n_sub, body, (y, rhs_core.grid_rot(t0, p_sh, u_sh, jnp)))
+    out_ref[:] = y1
 
 
 @partial(jax.jit, static_argnames=("n_ph", "m", "n_sub", "dt", "block",

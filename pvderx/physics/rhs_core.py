@@ -163,6 +163,17 @@ AW_KAPPA = 40.0  # anti-windup sigmoid sharpness
 VDC_PIN_RATE = 1000.0  # [1/s] stiff-source pin of Vdc in the const-Vdc variant
 
 
+def _pow16(r):
+    """r^16 by repeated squaring (4 multiplies). `r ** 16.0` lowers to a
+    generic pow (exp/log pair) in both Mosaic and LSODA-side numpy; at 4 pow
+    calls per RHS evaluation that was ~15% of the fused window kernel
+    (measured on a v5e, see ops/window.py)."""
+    r2 = r * r
+    r4 = r2 * r2
+    r8 = r4 * r4
+    return r8 * r8
+
+
 def soft_limit_scale(mag, lim, xp):
     """Smooth radial limiter: scale s.t. mag*s -> lim as mag grows.
 
@@ -170,10 +181,11 @@ def soft_limit_scale(mag, lim, xp):
     adaptive oracle converge to the same trajectory (hard min() kinks leave an
     O(1e-5) integrator-dependent floor at limit-crossing events).
     (A sqrt-chain form of x^(-1/16) was measured on a v5e and is NOT faster —
-    XLA/Mosaic already lowers these fixed powers well; keep the plain form.)
+    XLA/Mosaic already lowers that fixed power well; keep the plain form.
+    The inner r^16 as a generic pow was NOT free — see _pow16.)
     """
     r = xp.minimum(mag / lim, 8.0)
-    return (1.0 + r ** SAT_K) ** (-1.0 / SAT_K)
+    return (1.0 + _pow16(r)) ** (-1.0 / SAT_K)
 
 
 def aw_gate(mag, lim, xp):
@@ -233,7 +245,17 @@ def prep_invariants(p, u, xp, bdims: int = 0) -> Prep:
     return Prep(y_g=y_g, y_tot=y_tot, en=en, iph=iph, a_k=a_k, v2=v2)
 
 
-def pcc_voltage(i_inj, t, p, u, xp, prep: Prep | None = None) -> C:
+def grid_rot(t, p, u, xp) -> C:
+    """Grid-source rotation phasor e^{j(phi_g + w_base*dw_g*(t - t_g))}
+    (SPEC §4.2). A pure function of time under the ZOH contract — the Pallas
+    window kernel computes it once per RK4 stage *time* (2 per substep: the
+    half-point is shared by k2/k3 and the endpoint is the next substep's
+    start) instead of once per RHS evaluation (4)."""
+    return cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp)
+
+
+def pcc_voltage(i_inj, t, p, u, xp, prep: Prep | None = None,
+                rot: C | None = None) -> C:
     """PCC voltage from the grid Thevenin source + load + injected current
     (SPEC §4.1-4.2). `i_inj` is the total injected phase-current phasor pair
     [n_ph] — for a fleet on a shared feeder, pass the per-unit *mean* over
@@ -241,7 +263,8 @@ def pcc_voltage(i_inj, t, p, u, xp, prep: Prep | None = None) -> C:
     n_ph = p.n_ph
     if prep is None:
         prep = prep_invariants(p, u, xp, getattr(i_inj.re, "ndim", 1) - 1)
-    rot = cexpj(u.phi_g + p.w_base * u.dw_g * (t - u.t_g), xp)
+    if rot is None:
+        rot = grid_rot(t, p, u, xp)
     v_gpos = cscale(rot, u.v_g)
     # n_ph == 1: a_k = exp(j·0) = 1+0j — multiplying by it is a bitwise
     # identity in IEEE arithmetic, so skip it (broadcasting against i_inj's
@@ -318,12 +341,13 @@ def algebra_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None) -> Algebra:
                    e_dc=e_dc, e_q=e_q, aw=aw)
 
 
-def algebra(y, t, p, u, xp, prep: Prep | None = None) -> Algebra:
+def algebra(y, t, p, u, xp, prep: Prep | None = None,
+            rot: C | None = None) -> Algebra:
     """All algebraic relations of SPEC.md §4 (single DER on its own feeder)."""
     i, *_ = unpack(y, p.n_ph)
     if prep is None:
         prep = prep_invariants(p, u, xp, getattr(y, "ndim", 1) - 1)
-    v = pcc_voltage(cscale(i, u.conn), t, p, u, xp, prep)
+    v = pcc_voltage(cscale(i, u.conn), t, p, u, xp, prep, rot)
     return algebra_given_v(y, t, p, u, v, xp, prep)
 
 
@@ -355,13 +379,14 @@ def rhs_from_algebra(y, t, p, u, g: Algebra, xp, prep: Prep | None = None):
     return pack(di, dx, du, dvdc, dxdc, dxq, dxpll, dth, xp)
 
 
-def rhs(y, t, p, u, xp, prep: Prep | None = None):
+def rhs(y, t, p, u, xp, prep: Prep | None = None, rot: C | None = None):
     """dy/dt per SPEC.md §5. Pure; static shapes; branchless.
 
-    `prep` (optional) supplies the window-invariant precomputations; passing
-    it changes nothing numerically (identical arithmetic) but lets the Pallas
-    window kernel hoist that work out of the substep loop."""
-    g = algebra(y, t, p, u, xp, prep)
+    `prep` (optional) supplies the window-invariant precomputations; `rot`
+    (optional) the grid rotation phasor at time t (see grid_rot). Passing
+    them changes nothing numerically (identical arithmetic) but lets the
+    Pallas window kernel hoist/share that work across RHS evaluations."""
+    g = algebra(y, t, p, u, xp, prep, rot)
     return rhs_from_algebra(y, t, p, u, g, xp, prep)
 
 

@@ -76,6 +76,23 @@ def test_rk4_jax_matches_rk4_numpy_bitwise_level():
     np.testing.assert_allclose(traj_j[-1], y_np, rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("preset,n_sub", [("10", 72), ("50", 88)])
+def test_knee_hardest_sag(preset, n_sub):
+    """Pin the per-preset accuracy knee (SPEC.md §6): the bench n_sub values
+    must keep ≤1e-6 on the hardest scenario — a sustained 0.45 pu sag with
+    the breaker held closed (harsher than any env trajectory: LVRT trips
+    first). Measured 6.0e-7 ("10"@72) / 6.4e-7 ("50"@88); full sweep in
+    benchmarks/integrator_study.py."""
+    p = make_params(preset)
+    u = nominal_exog()
+    u_sag = dataclasses.replace(u, v_g=0.45)
+    exogs = [u_sag if 20 <= k < 50 else u for k in range(60)]
+    traj_o = scipy_ref.run_trajectory(p, exogs)
+    traj_j = _jax_rollout(p, exogs, traj_o[0], n_sub)
+    err = np.max(np.abs(traj_j - traj_o))
+    assert err < 1e-6, f"max-abs-err {err:.3e}"
+
+
 def test_hold_steady_no_drift():
     """From the equilibrium with constant inputs, 1 s of RK4 stays put."""
     p = make_params("10")
