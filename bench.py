@@ -57,7 +57,12 @@ BASELINE_CONFIGS = {
     4: dict(preset="10", n_envs=16384,
             cfg_kw=dict(mppt_enable=True,
                         scen=dict(p_cloud=0.9, zg_jitter=0.3))),
-    5: dict(preset="10", n_envs=512, fleet_m=16, cfg_kw={}),
+    # fleet sizing: block is VMEM-capped at 1024 envs (M=16 copies of every
+    # field; 2048 OOMs the 16 MiB scoped vmem), so n_envs >= 1024 keeps the
+    # env tile a full 8x128 f32 vreg (512 -> rows=4 half-tiles, 2x slower) and
+    # n_envs >= 2048 adds grid pipelining. v5e sweep at n_sub=72: 512 -> 862k,
+    # 1024 -> 1.76M, 2048 -> 1.86M, 4096 -> 1.92M env-steps/s.
+    5: dict(preset="10", n_envs=4096, fleet_m=16, cfg_kw={}),
 }
 
 
