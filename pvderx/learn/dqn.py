@@ -76,33 +76,35 @@ class DQNRunner:
     update_i: jnp.ndarray
 
 
-def make_dqn(env_cfg: env_core.EnvConfig, dqn: DQNConfig,
+def make_dqn(env_cfg, dqn: DQNConfig,
              hidden=(128, 128), dtype=jnp.float32):
     """Build (init_runner(key, n_envs), train_step(runner), net).
 
-    env_cfg must be discrete (the reference's action space); the anomaly
-    variant (BASELINE config 3) widens the head to N_ACTIONS_ANOM.
+    env_cfg must be discrete (the reference's action space) — a single-DER
+    `EnvConfig` (the anomaly variant of BASELINE config 3 widens the head to
+    N_ACTIONS_ANOM) or a `FleetConfig` (dispatched via pvderx.learn.env_api).
     """
-    if env_cfg.continuous:
+    from pvderx.learn.env_api import make_env_api
+
+    api = make_env_api(env_cfg)
+    if api.n_actions == 0:
         raise ValueError("DQN requires a discrete env (continuous=False)")
-    n_actions = (env_core.N_ACTIONS_ANOM if env_cfg.anomaly_detect
-                 else env_core.N_ACTIONS)
+    n_actions = api.n_actions
     net = QNetwork(n_actions=n_actions, hidden=hidden, dtype=dtype)
     tx = optax.adam(dqn.lr)
 
     def init_runner(key, n_envs: int) -> DQNRunner:
         k_net, k_env, k_run = jax.random.split(key, 3)
-        params = net.init(k_net, jnp.zeros((1, env_core.OBS_DIM), dtype))
-        env_state, obs = jax.vmap(lambda k: env_core.reset(env_cfg, k))(
-            jax.random.split(k_env, n_envs))
+        params = net.init(k_net, jnp.zeros((1, api.obs_dim), dtype))
+        env_state, obs = api.reset_batch(k_env, n_envs)
         # break the cached-initial-buffer aliases from reset (donation-safe)
-        env_state = env_core.unalias(env_state)
+        env_state = api.unalias(env_state)
         cap = dqn.capacity
         replay = Replay(
-            obs=jnp.zeros((cap, env_core.OBS_DIM), dtype),
+            obs=jnp.zeros((cap, api.obs_dim), dtype),
             act=jnp.zeros((cap,), jnp.int32),
             rew=jnp.zeros((cap,), dtype),
-            nobs=jnp.zeros((cap, env_core.OBS_DIM), dtype),
+            nobs=jnp.zeros((cap, api.obs_dim), dtype),
             done=jnp.zeros((cap,), dtype),
             ptr=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32))
         params_tgt = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
@@ -114,11 +116,7 @@ def make_dqn(env_cfg: env_core.EnvConfig, dqn: DQNConfig,
     # batched env step: fused Pallas window kernel on TPU when the batch
     # tiles legally, vmapped scan elsewhere — same physics, same results
     # (pvderx/env/vector.py; tested equal in tests/test_ops.py)
-    from pvderx.env.vector import _step_batch_impl
-
-    def step_env(s, a):
-        return _step_batch_impl(env_cfg, s, a, window="auto", block=4096,
-                                autoreset=True)
+    step_env = api.step
 
     def _epsilon(update_i):
         frac = jnp.clip(update_i.astype(dtype) / dqn.eps_decay_updates, 0.0, 1.0)

@@ -1,0 +1,90 @@
+"""Uniform learner-facing interface over the environment backends.
+
+The learners (PPO/DQN/SAC) only need four things from an environment:
+batched reset, batched autoreset step, the action-space width, and a
+donation-safe state. This shim provides them for both backends so one
+learner implementation drives either:
+
+- the single-DER env (`pvderx.env.core` + `pvderx.env.vector`) — BASELINE
+  configs 1-4, including the anomaly-detection action (config 3) and the
+  continuous Box extension, and
+- the multi-DER shared-feeder fleet (`pvderx.env.fleet`) — BASELINE config 5,
+  whose contract pairs the fleet env with the sharded PPO learner.
+
+Reference analog: the reference trains stable-baselines agents against the
+one registered gym env (SURVEY.md §2.1 #13); it has no fleet or vectorized
+variant, so this dispatch layer is part of the TPU-native extension surface.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pvderx.env import core as env_core
+
+
+class EnvAPI(NamedTuple):
+    """What a learner needs from an env backend (see module docstring)."""
+
+    reset_batch: Callable[[Any, int], Any]   # (key, n_envs) -> (state, obs)
+    step: Callable[[Any, Any], Any]          # (state, acts) -> (state, obs, r, done, info)
+    unalias: Callable[[Any], Any]            # break cached-buffer aliases for donation
+    n_actions: int                           # discrete action count (0 if continuous)
+    act_dim: int                             # continuous action dim (0 if discrete)
+    obs_dim: int
+
+
+def _unalias(st):
+    """Copy the cached episode-initial buffers (y0/obs0/ppv0) that alias live
+    state out of reset — XLA rejects donating one buffer twice per Execute().
+    Both EnvState and FleetState carry these same three cache fields."""
+    from pvderx._pytree import replace
+    cp = lambda x: jnp.array(x, copy=True)
+    return replace(st, y0=cp(st.y0), obs0=cp(st.obs0), ppv0=cp(st.ppv0))
+
+
+def make_env_api(env_cfg, *, window: str = "auto", block: int | None = None,
+                 autoreset: bool = True) -> EnvAPI:
+    """Build the learner-facing API for an `EnvConfig` or `FleetConfig`."""
+    from pvderx.env import fleet as fleet_mod
+
+    if isinstance(env_cfg, fleet_mod.FleetConfig):
+        blk = 1024 if block is None else block  # fleet VMEM cap (ops/window.py)
+
+        def reset_batch(key, n_envs):
+            return jax.vmap(lambda k: fleet_mod.reset(env_cfg, k))(
+                jax.random.split(key, n_envs))
+
+        def step(state, actions):
+            return fleet_mod._step_batch_impl(
+                env_cfg, state, actions, window=window, block=blk,
+                autoreset=autoreset)
+
+        return EnvAPI(reset_batch=reset_batch, step=step, unalias=_unalias,
+                      n_actions=env_core.N_ACTIONS, act_dim=0,
+                      obs_dim=env_core.OBS_DIM)
+
+    from pvderx.env import vector as vector_mod
+
+    blk = 4096 if block is None else block
+    if env_cfg.continuous:
+        n_actions, act_dim = 0, env_core.ACT_DIM_CONT
+    elif env_cfg.anomaly_detect:
+        n_actions, act_dim = env_core.N_ACTIONS_ANOM, 0
+    else:
+        n_actions, act_dim = env_core.N_ACTIONS, 0
+
+    def reset_batch(key, n_envs):
+        return jax.vmap(lambda k: env_core.reset(env_cfg, k))(
+            jax.random.split(key, n_envs))
+
+    def step(state, actions):
+        return vector_mod._step_batch_impl(
+            env_cfg, state, actions, window=window, block=blk,
+            autoreset=autoreset)
+
+    return EnvAPI(reset_batch=reset_batch, step=step, unalias=_unalias,
+                  n_actions=n_actions, act_dim=act_dim,
+                  obs_dim=env_core.OBS_DIM)

@@ -56,14 +56,26 @@ class PPORunner:
     update_i: jnp.ndarray
 
 
-def make_ppo(env_cfg: env_core.EnvConfig, ppo: PPOConfig,
+def make_ppo(env_cfg, ppo: PPOConfig,
              hidden=(128, 128), dtype=jnp.float32):
     """Build (init_runner(key, n_envs), train_step(runner)) for one mesh/host.
 
     train_step is pure and jittable; under a Mesh with the env batch sharded
     on 'env' and params replicated, it is the full multi-chip training step.
+
+    env_cfg may be a single-DER `EnvConfig` (BASELINE configs 1-4, including
+    the 6-action anomaly-detection variant of config 3) or a `FleetConfig`
+    (BASELINE config 5: fleet env + sharded PPO learner) — dispatched through
+    `pvderx.learn.env_api`. Discrete action spaces only; use SAC for the
+    continuous extension.
     """
-    net = ActorCritic(n_actions=env_core.N_ACTIONS, hidden=hidden, dtype=dtype)
+    from pvderx.learn.env_api import make_env_api
+
+    api = make_env_api(env_cfg)
+    if api.n_actions == 0:
+        raise ValueError("PPO here is discrete-action; got a continuous env "
+                         "config (use pvderx.learn.sac for Box actions)")
+    net = ActorCritic(n_actions=api.n_actions, hidden=hidden, dtype=dtype)
     tx = optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
         optax.adam(ppo.lr),
@@ -71,12 +83,11 @@ def make_ppo(env_cfg: env_core.EnvConfig, ppo: PPOConfig,
 
     def init_runner(key, n_envs: int) -> PPORunner:
         k_net, k_env, k_run = jax.random.split(key, 3)
-        params = net.init(k_net, jnp.zeros((1, env_core.OBS_DIM), dtype))
+        params = net.init(k_net, jnp.zeros((1, api.obs_dim), dtype))
         opt_state = tx.init(params)
-        env_state, obs = jax.vmap(lambda k: env_core.reset(env_cfg, k))(
-            jax.random.split(k_env, n_envs))
+        env_state, obs = api.reset_batch(k_env, n_envs)
         # break the cached-initial-buffer aliases from reset (donation-safe)
-        env_state = env_core.unalias(env_state)
+        env_state = api.unalias(env_state)
         return PPORunner(params=params, opt_state=opt_state,
                          env_state=env_state, obs=obs, key=k_run,
                          update_i=jnp.zeros((), jnp.int32))
@@ -84,11 +95,7 @@ def make_ppo(env_cfg: env_core.EnvConfig, ppo: PPOConfig,
     # batched env step: fused Pallas window kernel on TPU when the batch
     # tiles legally, vmapped scan elsewhere — same physics, same results
     # (pvderx/env/vector.py; tested equal in tests/test_ops.py)
-    from pvderx.env.vector import _step_batch_impl
-
-    def step_env(s, a):
-        return _step_batch_impl(env_cfg, s, a, window="auto", block=4096,
-                                autoreset=True)
+    step_env = api.step
 
     def _collect(params, env_state, obs, key):
         def body(carry, k):

@@ -88,10 +88,13 @@ def _squash(mu, log_std, key):
 def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
              hidden=(128, 128), dtype=jnp.float32):
     """Build (init_runner(key, n_envs), train_step(runner)). env_cfg must have
-    continuous=True."""
-    if not env_cfg.continuous:
+    continuous=True (single-DER env; the fleet action space is discrete)."""
+    from pvderx.learn.env_api import make_env_api
+
+    api = make_env_api(env_cfg)
+    if api.act_dim == 0:
         raise ValueError("SAC requires make_env_config(..., continuous=True)")
-    obs_dim, act_dim = env_core.OBS_DIM, env_core.ACT_DIM_CONT
+    obs_dim, act_dim = api.obs_dim, api.act_dim
     actor_net = TanhGaussianActor(act_dim=act_dim, hidden=hidden, dtype=dtype)
     critic_net = DoubleCritic(hidden=hidden, dtype=dtype)
     tx = optax.adam(sac.lr)
@@ -102,10 +105,9 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
         za = jnp.zeros((1, act_dim), dtype)
         actor = actor_net.init(k_a, zo)
         critic = critic_net.init(k_c, zo, za)
-        env_state, obs = jax.vmap(lambda k: env_core.reset(env_cfg, k))(
-            jax.random.split(k_env, n_envs))
+        env_state, obs = api.reset_batch(k_env, n_envs)
         # break the cached-initial-buffer aliases from reset (donation-safe)
-        env_state = env_core.unalias(env_state)
+        env_state = api.unalias(env_state)
         cap = sac.capacity
         replay = Replay(
             obs=jnp.zeros((cap, obs_dim), dtype),
@@ -128,11 +130,7 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
     # batched env step: fused Pallas window kernel on TPU when the batch
     # tiles legally, vmapped scan elsewhere — same physics, same results
     # (pvderx/env/vector.py; tested equal in tests/test_ops.py)
-    from pvderx.env.vector import _step_batch_impl
-
-    def step_env(s, a):
-        return _step_batch_impl(env_cfg, s, a, window="auto", block=4096,
-                                autoreset=True)
+    step_env = api.step
 
     def _collect(actor, env_state, obs, key):
         def body(carry, k):

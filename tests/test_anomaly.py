@@ -75,3 +75,19 @@ def test_gym_space_is_discrete_6():
     from pvderx.env.gym_adapter import PVDEREnv
     env = PVDEREnv(cfg=make_env_config("10", n_sub=40, anomaly_detect=True))
     assert env.action_space.n == core.N_ACTIONS_ANOM
+
+
+def test_ppo_anomaly_head_width():
+    """PPO over the anomaly env must expose all 6 actions (config 3) — the
+    policy head width comes from env_api, not a hardcoded N_ACTIONS."""
+    import numpy as np
+    from pvderx.learn import PPOConfig, make_ppo
+
+    cfg = make_env_config("10", n_sub=40, horizon=16, anomaly_detect=True)
+    init_runner, train_step, net = make_ppo(
+        cfg, PPOConfig(rollout_len=2, n_epochs=1, n_minibatch=2))
+    runner = init_runner(jax.random.PRNGKey(0), 8)
+    logits, _v = net.apply(runner.params, runner.obs)
+    assert logits.shape == (8, 6)
+    _runner2, metrics = jax.jit(train_step)(runner)
+    assert np.isfinite(float(metrics["loss"]))

@@ -143,3 +143,32 @@ def test_fleet_batch_pallas_matches_scan_three_phase_unbalanced():
     for a, b in zip(outs["scan"], outs["pallas"]):
         assert np.isfinite(a).all()
         assert np.allclose(a, b, atol=2e-5), np.abs(a - b).max()
+
+
+def test_fleet_ppo_train_step():
+    """BASELINE config 5 pairs the fleet env with the PPO learner: a full
+    train_step over a FleetConfig (via pvderx.learn.env_api) runs, produces a
+    finite loss, and steps the fleet batch."""
+    from pvderx.learn import PPOConfig, make_ppo
+
+    fc = make_fleet_config("10", m=M, n_sub=40, horizon=16)
+    ppo = PPOConfig(rollout_len=2, n_epochs=1, n_minibatch=2)
+    init_runner, train_step, _ = make_ppo(fc, ppo)
+    runner = init_runner(jax.random.PRNGKey(0), 8)
+    assert runner.env_state.y.shape == (8, M, 11)
+    runner2, metrics = jax.jit(train_step)(runner)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(runner2.env_state.t_step.sum()) > 0
+
+
+def test_fleet_dqn_train_step():
+    """DQN over the fleet backend (same env_api dispatch)."""
+    from pvderx.learn import DQNConfig, make_dqn
+
+    fc = make_fleet_config("10", m=M, n_sub=40, horizon=16)
+    dqn = DQNConfig(rollout_len=2, n_updates=1, capacity=256, batch_size=32)
+    init_runner, train_step, _ = make_dqn(fc, dqn)
+    runner = init_runner(jax.random.PRNGKey(0), 8)
+    runner2, metrics = jax.jit(train_step)(runner)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(runner2.replay.size) == 16  # 2 steps x 8 envs inserted
