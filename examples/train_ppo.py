@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--updates", type=int, default=50)
     ap.add_argument("--n-sub", type=int, default=72)  # measured 1e-6 knee (SPEC §6)
     ap.add_argument("--voltvar", action="store_true", help="BASELINE config 2")
+    ap.add_argument("--fleet-m", type=int, default=0,
+                    help="train on the M-DER shared-feeder fleet env "
+                         "(BASELINE config 5); 0 = single-DER env")
     ap.add_argument("--ckpt", default="", help="checkpoint dir (optional)")
     ap.add_argument("--metrics", default="/tmp/pvderx_ppo_metrics.jsonl")
     ap.add_argument("--cpu", action="store_true")
@@ -35,8 +38,13 @@ def main():
     from pvderx.utils import get_logger
 
     log = get_logger("examples.ppo")
-    cfg = make_env_config(args.preset, n_sub=args.n_sub,
-                          voltvar_enable=args.voltvar)
+    if args.fleet_m:
+        from pvderx.env.fleet import make_fleet_config
+        cfg = make_fleet_config(args.preset, m=args.fleet_m, n_sub=args.n_sub,
+                                voltvar_enable=args.voltvar)
+    else:
+        cfg = make_env_config(args.preset, n_sub=args.n_sub,
+                              voltvar_enable=args.voltvar)
     init_runner, train_step, _ = make_ppo(cfg, PPOConfig())
     runner = init_runner(jax.random.PRNGKey(0), args.n_envs)
     if jax.device_count() > 1:
