@@ -16,12 +16,14 @@ def main():
     ap.add_argument("--preset", default="10")
     ap.add_argument("--n-envs", type=int, default=1024)
     ap.add_argument("--updates", type=int, default=50)
-    ap.add_argument("--n-sub", type=int, default=72)  # measured 1e-6 knee (SPEC §6)
+    ap.add_argument("--n-sub", type=int, default=None,
+                    help="RK4 substeps/window; default = the per-preset 1e-6 knee (72 single-phase, 88 three-phase; SPEC §6)")
     ap.add_argument("--anomaly", action="store_true", help="BASELINE config 3")
     ap.add_argument("--ckpt", default="", help="checkpoint dir (optional)")
     ap.add_argument("--metrics", default="/tmp/pvderx_dqn_metrics.jsonl")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    args.n_sub = args.n_sub or (72 if args.preset == "10" else 88)
 
     import jax
     if args.cpu:

@@ -36,21 +36,22 @@ class EnvAPI(NamedTuple):
     obs_dim: int
 
 
-def _unalias(st):
-    """Copy the cached episode-initial buffers (y0/obs0/ppv0) that alias live
-    state out of reset — XLA rejects donating one buffer twice per Execute().
-    Both EnvState and FleetState carry these same three cache fields."""
-    from pvderx._pytree import replace
-    cp = lambda x: jnp.array(x, copy=True)
-    return replace(st, y0=cp(st.y0), obs0=cp(st.obs0), ppv0=cp(st.ppv0))
-
-
 def make_env_api(env_cfg, *, window: str = "auto", block: int | None = None,
                  autoreset: bool = True) -> EnvAPI:
     """Build the learner-facing API for an `EnvConfig` or `FleetConfig`."""
     from pvderx.env import fleet as fleet_mod
 
+    # env_core.unalias only touches the y0/obs0/ppv0 cache fields, which
+    # EnvState and FleetState share — one implementation serves both.
+    _unalias = env_core.unalias
+
     if isinstance(env_cfg, fleet_mod.FleetConfig):
+        if env_cfg.base.anomaly_detect or env_cfg.base.continuous:
+            raise ValueError(
+                "the fleet env's action space is the fleet-level Discrete(5) "
+                "only; anomaly_detect/continuous are single-DER env features "
+                "(pvderx/env/fleet.py ignores them — don't set them on the "
+                "FleetConfig base)")
         blk = 1024 if block is None else block  # fleet VMEM cap (ops/window.py)
 
         def reset_batch(key, n_envs):

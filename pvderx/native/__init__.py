@@ -116,6 +116,16 @@ def load_error() -> str | None:
     return _load_error
 
 
+def _require():
+    """The loaded library, or a clear error naming why it is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            f"pvderx native runtime unavailable on this host: {_load_error} "
+            "(needs g++; check pvderx.native.available() before calling)")
+    return lib
+
+
 def _cptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
@@ -129,7 +139,7 @@ def pack_exog(u: Exog) -> np.ndarray:
 
 
 def rhs(y, t: float, p: DERParams, u: Exog) -> np.ndarray:
-    lib = _load()
+    lib = _require()
     y = np.ascontiguousarray(y, np.float64)
     dy = np.empty_like(y)
     lib.pvdx_rhs(p.n_ph, _cptr(y), t, _cptr(pack_params(p)),
@@ -139,7 +149,7 @@ def rhs(y, t: float, p: DERParams, u: Exog) -> np.ndarray:
 
 def rk4_window(y, t0: float, dt: float, n_sub: int, p: DERParams,
                u: Exog) -> np.ndarray:
-    lib = _load()
+    lib = _require()
     y = np.array(y, np.float64, copy=True, order="C")
     lib.pvdx_rk4_window(p.n_ph, _cptr(y), t0, dt, n_sub,
                         _cptr(pack_params(p)), _cptr(pack_exog(u)))
@@ -149,7 +159,7 @@ def rk4_window(y, t0: float, dt: float, n_sub: int, p: DERParams,
 def dp54_window(y, t0: float, dt: float, p: DERParams, u: Exog,
                 rtol: float = 1e-10, atol: float = 1e-10) -> np.ndarray:
     """Adaptive DP5(4) over one control window (native truth integrator)."""
-    lib = _load()
+    lib = _require()
     y = np.array(y, np.float64, copy=True, order="C")
     n = lib.pvdx_dp54_window(p.n_ph, _cptr(y), t0, dt, rtol, atol,
                              _cptr(pack_params(p)), _cptr(pack_exog(u)))
@@ -162,7 +172,7 @@ def steady_state(p: DERParams, u: Exog, iters: int = 50,
                  tol: float = 1e-11) -> np.ndarray:
     """Newton steady-state init (native fsolve analog, SPEC §7)."""
     from pvderx.physics import rhs_core
-    lib = _load()
+    lib = _require()
     y = np.array(rhs_core.steady_state_guess(p, u, np), np.float64,
                  copy=True, order="C")
     r = lib.pvdx_newton_steady(p.n_ph, _cptr(y), _cptr(pack_params(p)),
@@ -177,14 +187,22 @@ def rk4_window_batch(y, t0, dt: float, n_sub: int, p, u) -> np.ndarray:
 
     p: one DERParams (shared) or a list of N; u: one Exog or a list of N.
     """
-    lib = _load()
+    lib = _require()
     y = np.array(y, np.float64, copy=True, order="C")
     n_env, _ = y.shape
     t0 = np.ascontiguousarray(np.broadcast_to(np.asarray(t0, np.float64),
                                               (n_env,)))
     p_list = p if isinstance(p, (list, tuple)) else [p]
     u_list = u if isinstance(u, (list, tuple)) else [u]
+    if len(p_list) not in (1, n_env):
+        raise ValueError(f"params list has {len(p_list)} entries; "
+                         f"need 1 (shared) or n_env={n_env}")
+    if len(u_list) not in (1, n_env):
+        raise ValueError(f"exog list has {len(u_list)} entries; "
+                         f"need 1 (shared) or n_env={n_env}")
     n_ph = p_list[0].n_ph
+    if any(q.n_ph != n_ph for q in p_list):
+        raise ValueError("mixed n_ph across the params list")
     pp = np.ascontiguousarray(np.stack([pack_params(q) for q in p_list]))
     uu = np.ascontiguousarray(np.stack([pack_exog(q) for q in u_list]))
     lib.pvdx_rk4_window_batch(

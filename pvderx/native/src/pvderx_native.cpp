@@ -13,7 +13,7 @@
 //                    (mirror of pvderx/ode/rk4.py arithmetic order)
 //   * dp54 window  — adaptive Dormand-Prince 5(4) with PI-free step control,
 //                    the native analog of scipy's LSODA truth oracle
-//   * newton       — damped Newton with forward-difference Jacobian + partial
+//   * newton       — full-step Newton with forward-difference Jacobian + partial
 //                    -pivot LU, the native analog of MINPACK fsolve
 //   * batched rk4  — OpenMP-parallel window integration over N envs (the
 //                    native CPU production engine; the TPU engine is the
@@ -253,10 +253,11 @@ static int dp54_window(int n_ph, double* y, double t0, double dt, double rtol,
       std::memcpy(y, y5, ns * sizeof(double));
       std::memcpy(k1, k7, ns * sizeof(double));  // FSAL
       ++accepted;
+      if (t >= tend) break;  // done: don't fail on a tiny post-step h update
     }
     double fac = 0.9 * std::pow(std::max(err, 1e-16), -0.2);
     h *= std::min(5.0, std::max(0.2, fac));
-    if (h < 1e-14) return -1;
+    if (h < 1e-14) return -1;  // step-size underflow mid-window
   }
   return t >= tend ? accepted : -1;
 }
