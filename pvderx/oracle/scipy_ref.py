@@ -63,6 +63,44 @@ def rk4_window_np(y, t0, dt, n_sub: int, p: DERParams, u: Exog):
     return y
 
 
+def run_episode(cfg, state, actions, rtol=RTOL, atol=ATOL):
+    """Oracle twin of the RL episode — the judged contract made executable.
+
+    Replays a fixed-seed episode from a `pvderx.env.core.reset` state,
+    re-using the env's own pure supervisory/observation/reward functions
+    (`_pre_window`/`_post_window`) and substituting ONLY the window
+    integrator: LSODA at truth tolerances instead of the fixed-step RK4.
+    Any per-step observation/reward difference vs `core.step` is therefore
+    pure integrator error, which SPEC.md §6 bounds at ≤1e-6 (float64, knee
+    n_sub). Reference analog: the env stepping `odeint` per control interval
+    (SURVEY.md §3.2).
+
+    Returns (obs [T, OBS_DIM], rewards [T], dones [T]) as numpy arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pvderx.env import core as env_core
+
+    to_np = lambda tree: jax.tree.map(
+        lambda x: np.asarray(x, np.float64), tree)
+    p_host = to_np(cfg.der)
+    obs_l, rew_l, done_l = [], [], []
+    st = state
+    for a in actions:
+        t, exog, mppt, flag = env_core._pre_window(cfg, st, jnp.asarray(a))
+        y1 = integrate_window(np.asarray(st.y, np.float64), float(t),
+                              cfg.dt_ctrl, p_host, to_np(exog), rtol, atol)
+        st, obs, r, done, _info = env_core._post_window(
+            cfg, st, exog, mppt, t, jnp.asarray(y1, st.y.dtype), flag)
+        obs_l.append(np.asarray(obs))
+        rew_l.append(float(r))
+        done_l.append(bool(done))
+        if done_l[-1]:
+            break
+    return np.stack(obs_l), np.asarray(rew_l), np.asarray(done_l)
+
+
 def run_trajectory(p: DERParams, exog_seq, y0=None, dt=1.0 / 60.0, rtol=RTOL, atol=ATOL):
     """Window-stepped trajectory with per-window exogenous inputs (ZOH).
 

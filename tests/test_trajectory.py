@@ -100,3 +100,35 @@ def test_hold_steady_no_drift():
     ss = scipy_ref.steady_state(p, u)
     traj_j = _jax_rollout(p, [u] * 60, ss, 120)
     assert np.max(np.abs(traj_j - ss)) < 1e-8
+
+
+def test_episode_obs_and_returns_match_oracle():
+    """The judged env contract (BASELINE.json): per-step observations and
+    episode returns of the RL env match the scipy/LSODA oracle under a fixed
+    seed, with only integrator error (≤1e-6 at the knee, f64) between them.
+    The action sequence exercises Q and Vdc nudges."""
+    import jax
+    from pvderx.env import core, make_env_config
+
+    cfg = make_env_config("10", dtype=jnp.float64, n_sub=72, horizon=40)
+    state, obs0 = jax.jit(lambda k: core.reset(cfg, k))(jax.random.PRNGKey(3))
+    T = 30
+    actions = np.array([0, 1, 1, 3, 0, 2, 4, 0, 1, 3] * 3, np.int32)[:T]
+
+    step = jax.jit(lambda s, a: core.step(cfg, s, a))
+    st, obs_j, rew_j, done_j = state, [], [], []
+    for a in actions:
+        st, ob, r, d, _ = step(st, jnp.asarray(a))
+        obs_j.append(np.asarray(ob)); rew_j.append(float(r))
+        done_j.append(bool(d))
+        if done_j[-1]:
+            break
+    obs_j, rew_j = np.stack(obs_j), np.asarray(rew_j)
+
+    obs_o, rew_o, done_o = scipy_ref.run_episode(cfg, state, actions)
+
+    assert len(rew_j) == len(rew_o)
+    np.testing.assert_array_equal(done_j, done_o)
+    assert np.max(np.abs(obs_j - obs_o)) <= 2e-6
+    assert np.max(np.abs(rew_j - rew_o)) <= 2e-6
+    assert abs(rew_j.sum() - rew_o.sum()) <= 1e-5
