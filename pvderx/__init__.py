@@ -3,9 +3,29 @@ from pvderx.params import DERParams, Exog, make_params, nominal_exog, PRESETS
 from pvderx.models import DER_MODEL_TYPES, make_der
 from pvderx import physics
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Lazy top-level conveniences (the MIGRATION.md surface) — resolved on first
+# access so `import pvderx` stays light for physics-only users.
+_LAZY = {
+    "make_env_config": ("pvderx.env", "make_env_config"),
+    "EventBuilder": ("pvderx.scenario", "EventBuilder"),
+    "DynamicSimulation": ("pvderx.sim", "DynamicSimulation"),
+    "SimulationResults": ("pvderx.diag.plots", "SimulationResults"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'pvderx' has no attribute {name!r}")
+
 
 __all__ = [
     "DERParams", "Exog", "make_params", "nominal_exog", "PRESETS",
     "DER_MODEL_TYPES", "make_der", "physics", "__version__",
+    *_LAZY,
 ]
