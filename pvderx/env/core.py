@@ -66,6 +66,9 @@ class ScenarioConfig:
     p_load: float = 0.2       # P(local load step)
     load_g_hi: float = 0.5
     zg_jitter: float = 0.0    # +- relative jitter on grid R/X at reset
+    fleet_s_jitter: float = 0.0  # +- per-unit insolation spread (fleet only):
+                                 # unit k sees s_irr * (1 + jitter*u_k),
+                                 # u_k ~ U(-1, 1) drawn once per episode
 
 
 @pytree_dataclass(meta=(

@@ -39,6 +39,7 @@ class FleetState:
     t_step: jnp.ndarray
     vdc_ref: jnp.ndarray    # [M]
     q_ref: jnp.ndarray      # [M]
+    s_scale: jnp.ndarray    # [M] per-unit insolation factor (scen.fleet_s_jitter)
     rt: RideThroughState    # leaves [M, ...]
     mppt: object            # MPPTState leaves [M]
     key: jnp.ndarray
@@ -51,13 +52,17 @@ class FleetState:
     ppv0: jnp.ndarray       # [M]
 
 
-def _fleet_exog(sched: EventSchedule, t, m: int, vdc_ref, q_ref, conn, ces) -> Exog:
-    """Per-unit Exog ([M] leaves) with shared grid/solar/load event fields."""
+def _fleet_exog(sched: EventSchedule, t, m: int, vdc_ref, q_ref, conn, ces,
+                s_scale=None) -> Exog:
+    """Per-unit Exog ([M] leaves) with shared grid/load event fields; solar is
+    shared too unless `s_scale` [M] spreads it per unit (partial clouding,
+    scen.fleet_s_jitter)."""
     sh = make_exog(sched, t, jnp.zeros_like(vdc_ref[0]), jnp.zeros_like(q_ref[0]),
                    jnp.ones_like(conn[0]), jnp.zeros_like(ces[0]))
     bc = lambda x: jnp.broadcast_to(x, (m,))
+    s_irr = bc(sh.s_irr) if s_scale is None else sh.s_irr * s_scale
     return Exog(
-        s_irr=bc(sh.s_irr), t_cell=bc(sh.t_cell), v_g=bc(sh.v_g),
+        s_irr=s_irr, t_cell=bc(sh.t_cell), v_g=bc(sh.v_g),
         phi_g=bc(sh.phi_g), dw_g=bc(sh.dw_g), t_g=bc(sh.t_g),
         v_g2=bc(sh.v_g2), phi_g2=bc(sh.phi_g2),
         g_load=bc(sh.g_load), b_load=bc(sh.b_load),
@@ -70,10 +75,13 @@ def reset(fc: FleetConfig, key):
     cfg, m = fc.base, fc.m
     dtype = cfg.der.rf.dtype
     k_base, k_jit, k_ev, k_state = jax.random.split(key, 4)
-    kb1, kb2 = jax.random.split(k_base)
+    kb1, kb2, kb3 = jax.random.split(k_base, 3)
     sc = cfg.scen
     s0 = jax.random.uniform(kb1, (), dtype, minval=sc.s0_lo, maxval=sc.s0_hi)
     tc0 = jax.random.uniform(kb2, (), dtype, minval=sc.tc_lo, maxval=sc.tc_hi)
+    # per-unit insolation spread (partial clouding), fixed for the episode
+    s_scale = 1.0 + sc.fleet_s_jitter * jax.random.uniform(
+        kb3, (m,), dtype, minval=-1.0, maxval=1.0)
     # shared-feeder impedance jitter: one draw, broadcast to all units
     der1 = env_core._jitter_params(k_jit, cfg.der, sc, dtype)
     der = fl.fleetify(der1, m, jnp)
@@ -83,7 +91,8 @@ def reset(fc: FleetConfig, key):
     q_ref = jnp.zeros((m,), dtype)
     conn = jnp.ones((m,), dtype)
     ces = jnp.zeros((m,), dtype)
-    fu = _fleet_exog(sched, jnp.zeros((), dtype), m, vdc_ref, q_ref, conn, ces)
+    fu = _fleet_exog(sched, jnp.zeros((), dtype), m, vdc_ref, q_ref, conn, ces,
+                     s_scale)
 
     n_s = 6 * cfg.der.n_ph + 5
     f = lambda yf: fl.fleet_rhs(
@@ -99,7 +108,8 @@ def reset(fc: FleetConfig, key):
     mppt = MPPTState(p_prev=g.p_pv, direction=jnp.ones((m,), dtype))
     st = FleetState(der=der, sched=sched, y=y0,
                     t_step=jnp.zeros((), jnp.int32),
-                    vdc_ref=vdc_ref, q_ref=q_ref, rt=rt, mppt=mppt,
+                    vdc_ref=vdc_ref, q_ref=q_ref, s_scale=s_scale,
+                    rt=rt, mppt=mppt,
                     key=k_state, y0=y0, s0=s0, tc0=tc0,
                     obs0=jnp.zeros((OBS_DIM,), dtype),
                     ppv0=jnp.asarray(g.p_pv, dtype))
@@ -119,7 +129,8 @@ def _obs(fc: FleetConfig, st: FleetState, g, fu: Exog, t_next):
         jnp.mean(st.y[:, 6 * n]),
         jnp.mean(g.p_pcc), jnp.mean(g.q_pcc),
         jnp.mean(st.vdc_ref), jnp.mean(st.q_ref),
-        fu.s_irr[0] / 1000.0,
+        jnp.mean(fu.s_irr) / 1000.0,  # fleet-mean insolation (per-unit spread
+                                      # when scen.fleet_s_jitter > 0)
         10.0 * (jnp.mean(g.f_meas) - 1.0),
         t_next / cfg.horizon,
         conn_frac,
@@ -146,7 +157,8 @@ def _pre_window(fc: FleetConfig, st: FleetState, action):
         vdc_ref = jnp.clip(vdc_ref + dv, cfg.v_lo, cfg.v_hi)
 
     conn = 1.0 - st.rt.tripped
-    fu = _fleet_exog(st.sched, t, m, vdc_ref, q_ref, conn, st.rt.ces)
+    fu = _fleet_exog(st.sched, t, m, vdc_ref, q_ref, conn, st.rt.ces,
+                     st.s_scale)
     mppt = st.mppt
     if cfg.voltvar_enable or cfg.mppt_enable:
         g0 = fl.fleet_algebra(st.y, t, st.der, fu, jnp)

@@ -172,3 +172,46 @@ def test_fleet_dqn_train_step():
     runner2, metrics = jax.jit(train_step)(runner)
     assert np.isfinite(float(metrics["loss"]))
     assert int(runner2.replay.size) == 16  # 2 steps x 8 envs inserted
+
+
+def test_fleet_insolation_jitter_spreads_units():
+    """scen.fleet_s_jitter gives each unit its own insolation (partial
+    clouding): per-unit PV powers differ, the aggregate env still steps, and
+    the per-unit spread is bounded by the configured jitter."""
+    from pvderx.env.core import ScenarioConfig
+
+    fc = make_fleet_config("10", m=M, n_sub=40, horizon=16,
+                           scen=ScenarioConfig(fleet_s_jitter=0.3,
+                                               p_sag=0.0, p_cloud=0.0,
+                                               p_load=0.0, p_freq=0.0))
+    st, obs = reset(fc, jax.random.PRNGKey(2))
+    s = np.asarray(st.s_scale)
+    assert s.std() > 0.01 and np.all(np.abs(s - 1.0) <= 0.3 + 1e-6)
+    # distinct insolation -> distinct per-unit steady-state currents
+    i_mag = np.hypot(np.asarray(st.y[:, 0]), np.asarray(st.y[:, 1]))
+    assert i_mag.std() > 1e-3
+    st1, obs1, r, d, info = step(fc, st, 0)
+    assert np.isfinite(float(info["p_pv"]))
+    assert np.all(np.isfinite(np.asarray(st1.y)))
+
+
+def test_fleet_jitter_pallas_matches_scan():
+    """Per-unit insolation flows through the fused fleet kernel identically
+    to the scan path."""
+    from pvderx.env.core import ScenarioConfig
+    from pvderx.env.fleet import make_fleet_batch_fns
+
+    fc = make_fleet_config("10", m=M, n_sub=40, horizon=16,
+                           scen=ScenarioConfig(fleet_s_jitter=0.25))
+    n = 128
+    keys = jax.random.split(jax.random.PRNGKey(4), n)
+    rb_p, sb_p = make_fleet_batch_fns(fc, donate=False, window="pallas",
+                                      block=128)
+    rb_s, sb_s = make_fleet_batch_fns(fc, donate=False, window="scan")
+    st, obs = rb_p(keys)
+    acts = jnp.zeros((n,), jnp.int32)
+    _, obs_p, r_p, d_p, _ = sb_p(st, acts)
+    _, obs_s, r_s, d_s, _ = sb_s(st, acts)
+    np.testing.assert_allclose(np.asarray(obs_p), np.asarray(obs_s),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_s))
