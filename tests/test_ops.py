@@ -86,3 +86,19 @@ def test_env_step_pallas_matches_scan():
         outs[window] = (np.asarray(obs), np.asarray(rew), np.asarray(done))
     for a, b in zip(outs["scan"], outs["pallas"]):
         assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
+
+
+def test_kernel_block_size_invariance_bitwise():
+    """Reproducibility across tilings: each env's window integration is
+    independent of how the batch is partitioned into VMEM blocks, so
+    different `block` sizes must give BITWISE-identical results (the
+    resharding-determinism analog at the kernel level)."""
+    dtype = jnp.float32
+    n = 2048
+    p, pf, uf, y, t0 = _batch("10", n, jax.random.PRNGKey(5), dtype)
+    pp = pack_struct(pf, P_FIELDS)
+    uu = pack_struct(uf, U_FIELDS)
+    kw = dict(n_ph=p.n_ph, n_sub=4, dt=DT, interpret=True)
+    y_whole = rk4_window_batch(y, t0, pp, uu, block=2048, **kw)
+    y_tiled = rk4_window_batch(y, t0, pp, uu, block=1024, **kw)
+    np.testing.assert_array_equal(np.asarray(y_whole), np.asarray(y_tiled))
