@@ -121,12 +121,13 @@ def main():
                          "88 for presets 50/250 (6.4e-7; 72 breaches at "
                          "1.5e-6) — see SPEC.md §6 and "
                          "benchmarks/integrator_study.py")
-    ap.add_argument("--chunk", type=int, default=480,
+    ap.add_argument("--chunk", type=int, default=960,
                     help="env steps per timed call. This sandbox's TPU "
                          "tunnel adds ~23 ms of dispatch overhead per jitted "
                          "call (measured; absent on a directly-attached "
-                         "chip), so longer chunks amortize it: 120 -> 20.8M, "
-                         "480 -> 26.2M, 960 -> 27.3M env-steps/s at 16k envs")
+                         "chip), so longer chunks amortize it: at 32k envs "
+                         "480 -> 28.9M, 960 -> 29.7M env-steps/s (round 2); "
+                         "64k envs adds only +0.6% for 2x the reset compile")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--config", type=int, choices=sorted(BASELINE_CONFIGS),
