@@ -153,3 +153,23 @@ def test_sharded_pallas_window_matches_single_device(cfg):
     o8 = sb(shard_batch(st, mesh), shard_batch(acts, mesh))[1]
     assert len(o8.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o8), atol=1e-5)
+
+
+def test_fleet_ppo_sharded_over_mesh():
+    """BASELINE config 5 end-to-end shape: the fleet env + PPO learner with
+    the env batch sharded over the mesh 'env' axis and params replicated
+    (GSPMD inserts the gradient all-reduce)."""
+    from pvderx.dist import make_mesh, shard_runner
+    from pvderx.env.fleet import make_fleet_config
+    from pvderx.learn import PPOConfig, make_ppo
+
+    fc = make_fleet_config("10", m=4, n_sub=40, horizon=16)
+    ppo = PPOConfig(rollout_len=2, n_epochs=1, n_minibatch=2)
+    init_runner, train_step, _ = make_ppo(fc, ppo)
+    runner = init_runner(jax.random.PRNGKey(7), 16)
+    mesh = make_mesh(8)
+    runner_sh = shard_runner(runner, mesh)
+    assert len(runner_sh.env_state.y.sharding.device_set) == 8
+    r8, m8 = jax.jit(train_step)(runner_sh)
+    assert np.isfinite(float(m8["loss"]))
+    assert len(r8.obs.sharding.device_set) == 8
