@@ -183,6 +183,21 @@ def nb_train():
         "        print(f\"update {i:2d}: reward={float(m['reward_mean']):+.3f} \"\n"
         "              f\"loss={float(m['loss']):.4f} entropy={float(m['entropy']):.3f}\")\n"))
     c.append(nbf.v4.new_markdown_cell(
+        "## Deploying the trained policy\n\n"
+        "Controllers ultimately run on hosts without JAX (inverter "
+        "controllers, EMS/SCADA). `pvderx.learn.export` flattens the trained "
+        "Flax MLP into a numpy-only forward plus a portable JSON artifact, "
+        "exact to the Flax output (tests/test_export.py)."))
+    c.append(nbf.v4.new_code_cell(
+        "from pvderx.learn import NumpyMLPPolicy, export_actor_critic\n"
+        "\n"
+        "pol = export_actor_critic(prunner.params)\n"
+        "artifact = pol.to_json()                    # ship this file\n"
+        "pol2 = NumpyMLPPolicy.from_json(artifact)   # ... on the target host\n"
+        "obs_np = np.asarray(prunner.obs)\n"
+        "print(\"artifact size:\", len(artifact) // 1024, \"KiB\")\n"
+        "print(\"deployed actions:\", pol2.act(obs_np)[:10])\n"))
+    c.append(nbf.v4.new_markdown_cell(
         "Both learners are checkpointable pytrees (`pvderx.diag.checkpoint`) "
         "and shard unchanged over multi-host TPU meshes — see "
         "`tests/test_dist.py` and `examples/train_*.py`."))
