@@ -102,7 +102,8 @@ def test_hold_steady_no_drift():
     assert np.max(np.abs(traj_j - ss)) < 1e-8
 
 
-def test_episode_obs_and_returns_match_oracle():
+@pytest.mark.parametrize("preset,n_sub", [("10", 72), ("50", 88)])
+def test_episode_obs_and_returns_match_oracle(preset, n_sub):
     """The judged env contract (BASELINE.json): per-step observations and
     episode returns of the RL env match the scipy/LSODA oracle under a fixed
     seed, with only integrator error (≤1e-6 at the knee, f64) between them.
@@ -110,7 +111,7 @@ def test_episode_obs_and_returns_match_oracle():
     import jax
     from pvderx.env import core, make_env_config
 
-    cfg = make_env_config("10", dtype=jnp.float64, n_sub=72, horizon=40)
+    cfg = make_env_config(preset, dtype=jnp.float64, n_sub=n_sub, horizon=40)
     state, obs0 = jax.jit(lambda k: core.reset(cfg, k))(jax.random.PRNGKey(3))
     T = 30
     actions = np.array([0, 1, 1, 3, 0, 2, 4, 0, 1, 3] * 3, np.int32)[:T]
