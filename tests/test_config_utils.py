@@ -80,3 +80,52 @@ def test_logger_names_and_verbosity():
     import logging
     assert logging.getLogger("pvderx").level == logging.DEBUG
     set_verbosity("INFO")
+
+
+# ---------------------------------------------------------------------------
+# conversions (SURVEY.md §2.1 #10: RMS<->phasor, abc<->dq, symmetric comps)
+# ---------------------------------------------------------------------------
+def test_rms_phasor_roundtrip():
+    from pvderx.utils.transforms import phasor_to_rms, rms_to_phasor
+
+    x = rms_to_phasor(0.7, 0.3)
+    np.testing.assert_allclose(phasor_to_rms(x), 0.7, rtol=1e-12)
+    np.testing.assert_allclose(np.arctan2(x.im, x.re), 0.3, rtol=1e-12)
+
+
+def test_park_roundtrip_and_balanced_set():
+    from pvderx.utils.transforms import abc_to_dq0, dq0_to_abc
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 3))
+    th = rng.standard_normal((5,))
+    d, q, z = abc_to_dq0(x, th)
+    np.testing.assert_allclose(dq0_to_abc(d, q, z, th), x, atol=1e-12)
+    # balanced set of peak A at angle wt: d = A·cos(wt-th) frame-consistent,
+    # amplitude-invariant -> hypot(d, q) == A, z == 0
+    wt = 1.234
+    A = 0.9
+    bal = np.stack([A * np.cos(wt), A * np.cos(wt - 2 * np.pi / 3),
+                    A * np.cos(wt + 2 * np.pi / 3)])
+    d, q, z = abc_to_dq0(bal, wt)
+    np.testing.assert_allclose(np.hypot(d, q), A, atol=1e-12)
+    np.testing.assert_allclose(d, A, atol=1e-12)  # frame locked to wt
+    np.testing.assert_allclose(z, 0.0, atol=1e-12)
+
+
+def test_sequence_components_match_rhs_core():
+    from pvderx.physics import rhs_core
+    from pvderx.utils.transforms import (
+        sequence_components, sequence_to_phase)
+
+    rng = np.random.default_rng(1)
+    x = rhs_core.C(rng.standard_normal(3), rng.standard_normal(3))
+    pos, neg, zero = sequence_components(x)
+    # consistency with the physics core's extractions
+    neg_core = rhs_core.neg_seq(x, 3, np)
+    np.testing.assert_allclose(neg.re, neg_core.re, atol=1e-12)
+    np.testing.assert_allclose(neg.im, neg_core.im, atol=1e-12)
+    # exact reconstruction
+    x2 = sequence_to_phase(pos, neg, zero)
+    np.testing.assert_allclose(x2.re, x.re, atol=1e-12)
+    np.testing.assert_allclose(x2.im, x.im, atol=1e-12)
