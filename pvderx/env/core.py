@@ -217,6 +217,12 @@ def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
     t_evt = jnp.where(is_sag + is_freq > 0, t_g, inf)
     v_evt = jnp.where(is_sag > 0, depth, one)
     dw_evt = jnp.where(is_freq > 0, dw, zero)
+    # phase-continuous recovery: during the excursion the grid phase advances
+    # by w_base·dw·dur; the recovery row carries it as a static offset so the
+    # frequency step back to nominal is NOT a phase jump (a snap back to
+    # phi=0 is unphysical and costs ~6.6e-5 RK4-vs-LSODA error at the
+    # n_sub=72 knee — measured; the 1e-6 contract holds with continuity)
+    phi_rec = jnp.mod(cfg.der.w_base * dw_evt * dur_g, 2.0 * math.pi)
     # unbalanced sag (3-phase models; the 1-phase RHS ignores v2): neg-seq
     # magnitude proportional to the sag drop, random relative angle
     n_ph3 = jnp.asarray(float(cfg.der.n_ph == 3), dtype)
@@ -226,7 +232,7 @@ def _sample_events(key, cfg: EnvConfig, s0, tc0, dtype) -> EventSchedule:
     grid = jnp.stack([
         jnp.stack([zero, one, zero, zero, zero, zero]),
         jnp.stack([t_evt, v_evt, zero, dw_evt, v2_evt, phi2]),
-        jnp.stack([t_evt + dur_g, one, zero, zero, zero, zero]),
+        jnp.stack([t_evt + dur_g, one, phi_rec, zero, zero, zero]),
         jnp.stack([inf, one, zero, zero, zero, zero]),
     ])
 
@@ -386,10 +392,13 @@ def _anomaly_active(st: EnvState, exog) -> jnp.ndarray:
     1.0 while any injected event deviates from the episode's t=0 baseline
     (nominal grid, s0 insolation, no load). Branchless, from the ZOH exog."""
     dtype = st.y.dtype
+    # NOTE: no |phi_g| criterion — after a frequency excursion the recovery
+    # row carries the accumulated phase as a benign static offset (phase-
+    # continuous recovery, see _sample_events); a constant grid phase is not
+    # an anomaly.
     dev = ((jnp.abs(exog.v_g - 1.0) > 1e-6)
            | (exog.v_g2 > 1e-9)
            | (jnp.abs(exog.dw_g) > 1e-9)
-           | (jnp.abs(exog.phi_g) > 1e-9)
            | (jnp.abs(exog.s_irr - st.s0) > 1e-3)
            | (exog.g_load > 1e-9) | (jnp.abs(exog.b_load) > 1e-9))
     return dev.astype(dtype)
