@@ -102,3 +102,34 @@ def test_kernel_block_size_invariance_bitwise():
     y_whole = rk4_window_batch(y, t0, pp, uu, block=2048, **kw)
     y_tiled = rk4_window_batch(y, t0, pp, uu, block=1024, **kw)
     np.testing.assert_array_equal(np.asarray(y_whole), np.asarray(y_tiled))
+
+
+def test_kernel_matches_scan_disconnect_and_cessation():
+    """Edge masks through the kernel: random conn∈{0,1} (tripped/breaker
+    open) and ces∈{0,1} (momentary cessation) patterns must integrate
+    identically in the fused kernel and the scan path — mask handling is
+    where fused kernels typically diverge first."""
+    dtype = jnp.float32
+    n = 256
+    p, pf, uf, y, t0 = _batch("10", n, jax.random.PRNGKey(9), dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(10))
+    conn = (jax.random.uniform(k1, (n,)) < 0.5).astype(dtype)
+    ces = conn * (jax.random.uniform(k2, (n,)) < 0.5).astype(dtype)
+    uf = uf.__class__(**{**{f: getattr(uf, f) for f in U_FIELDS},
+                         "conn": conn, "ces": ces})
+
+    def win_one(yy, tt, pp, uu):
+        return rk4_window(lambda a, b: rhs_core.rhs(a, b, pp, uu, jnp),
+                          yy, tt, DT, 16)
+
+    y_scan = jax.vmap(win_one)(y, t0, pf, uf)
+    y_kern = rk4_window_batch(
+        y, t0, pack_struct(pf, P_FIELDS), pack_struct(uf, U_FIELDS),
+        n_ph=1, n_sub=16, dt=DT, block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_scan),
+                               rtol=0, atol=2e-6)
+    # disconnected envs decay their filter current (conn=0 branch active)
+    off = np.asarray(conn) == 0.0
+    i0 = np.hypot(np.asarray(y)[off, 0], np.asarray(y)[off, 1])
+    i1 = np.hypot(np.asarray(y_kern)[off, 0], np.asarray(y_kern)[off, 1])
+    assert np.all(i1 <= i0 + 1e-6)

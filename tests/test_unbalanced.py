@@ -165,3 +165,27 @@ def test_env_unbalanced_sag_episode():
         seen_unb = max(seen_unb, float(info["v_unb"]))
         assert np.isfinite(float(rew))
     assert seen_unb > 0.01, seen_unb
+
+
+def test_random_unbalanced_scenarios_property():
+    """Property sweep over random unbalanced sags (depth, neg-seq fraction,
+    angle, timing drawn from the env's ranges): RK4 at the three-phase knee
+    (n_sub=88) vs LSODA ≤1e-6 on every draw."""
+    rng = np.random.default_rng(7)
+    p = make_params("50")
+    u = nominal_exog()
+    worst = 0.0
+    for trial in range(5):
+        depth = float(rng.uniform(0.3, 0.9))
+        v2 = float(rng.uniform(0.0, 0.5)) * (1.0 - depth)
+        phi2 = float(rng.uniform(0.0, 2 * np.pi))
+        t1 = int(rng.integers(3, 12))
+        dur = int(rng.integers(5, 15))
+        u_sag = dataclasses.replace(u, v_g=depth, v_g2=v2, phi_g2=phi2)
+        exogs = [u_sag if t1 <= k < t1 + dur else u for k in range(30)]
+        traj_o = scipy_ref.run_trajectory(p, exogs)
+        traj_j = _jax_rollout(p, exogs, traj_o[0], 88)
+        err = np.max(np.abs(traj_j - traj_o))
+        worst = max(worst, err)
+        assert err < 1e-6, f"trial {trial}: max-abs-err {err:.3e}"
+    print(f"worst unbalanced-random error at n_sub=88: {worst:.3e}")
