@@ -4,20 +4,39 @@ Prints exactly ONE JSON line on stdout:
   {"metric": "env_steps_per_s", "value": N, "unit": "env-steps/s",
    "vs_baseline": R, ...}
 
-vs_baseline = value / (single-env scipy-LSODA oracle steps/s on this host's
-CPU), i.e. speedup over the reference's architecture (1 env per process,
-adaptive LSODA via scipy — SURVEY.md §6: the reference publishes no numbers,
-so the measured in-repo oracle is the baseline of record). Oracle tolerances
-rtol=1e-6/atol=1e-8 (practical quality, far looser than the 1e-10 truth
-setting used in equivalence tests).
+vs_baseline = value / ORACLE_BASELINE[preset]: speedup over the reference's
+architecture (1 env per process, adaptive LSODA via scipy — SURVEY.md §6: the
+reference publishes no numbers, so the in-repo oracle is the baseline of
+record). The denominator is PINNED (BASELINE.md): a long-run median measured
+once on this host, so the headline ratio is comparable across rounds — a live
+3 s re-measure on the busy 2-core host swung r01→r02 by 60% while real
+throughput moved 8%. `--measure-oracle` re-measures and reports the live
+figure alongside, without changing the denominator.
+
+The JSON also carries the two honesty gates the headline depends on:
+  - "reset_compile_s" / "rollout_compile_s": XLA compile+first-run times, so
+    compile-time regressions are caught (a persistent compilation cache under
+    .jax_cache/ makes warm reruns near-instant).
+  - "max_abs_err_f32": measured trajectory error of the production f32 Pallas
+    window-kernel path vs the f64 scipy-LSODA truth over an eventful fixed
+    scenario (cloud step + deep sag + frequency excursion) — the on-TPU
+    accuracy figure SPEC.md §6 cites. Skipped with --no-accuracy.
 """
 from __future__ import annotations
 
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
+
+# Pinned single-env scipy-LSODA oracle rates [env-steps/s] on this host's CPU
+# (rtol=1e-6/atol=1e-8, eventful sag scenario — same workload as
+# measure_oracle). Median of 8x 20 s runs, 2026-08-20 (see BASELINE.md
+# "Oracle baseline of record"; the 2-core VM shows ±20% load-dependent
+# scatter, which is exactly why the denominator is pinned).
+ORACLE_BASELINE = {"10": 43.5, "50": 26.5, "250": 31.1}
 
 
 def log(*a):
@@ -41,8 +60,89 @@ def measure_oracle(preset: str, seconds: float = 3.0) -> float:
         y = scipy_ref.integrate_window(y, n * dt, dt, p, uu, rtol=1e-6, atol=1e-8)
         n += 1
     rate = n / (time.perf_counter() - t0)
-    log(f"oracle (scipy LSODA, 1 env, cpu): {rate:.1f} env-steps/s over {n} steps")
+    log(f"oracle (scipy LSODA, 1 env, cpu, live): {rate:.1f} env-steps/s over {n} steps")
     return rate
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (repo-local, gitignored): warm bench
+    reruns skip the 32k-env reset/rollout compiles entirely."""
+    import jax
+
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log(f"compilation cache unavailable: {e}")
+
+
+def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
+                         n_steps: int = 120):
+    """Trajectory error of the production f32 Pallas window path vs f64 truth.
+
+    Rolls a 2 s eventful scenario (insolation step to 400 W/m², 0.55 pu sag,
+    +0.5 Hz frequency excursion — the test_trajectory.py hard-scenario
+    family) through `ops.window.rk4_window_batch` in float32 on the attached
+    device and compares the state trajectory at every window boundary against
+    the scipy-LSODA rtol=1e-10 truth (float64, host). Returns
+    (max_abs_err_f32, max_abs_err_per_step). SPEC.md §6 cites this number.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pvderx.env.vector import _use_pallas
+    from pvderx.oracle import scipy_ref
+    from pvderx.params import make_params, nominal_exog
+    from pvderx.ops.window import P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch
+
+    p = make_params(preset)
+    u = nominal_exog()
+    dt = 1.0 / 60.0
+    q = n_steps // 4
+    exogs = []
+    for k in range(n_steps):
+        if k < q:
+            exogs.append(u)                                    # settle
+        elif k < 2 * q:
+            exogs.append(dataclasses.replace(u, s_irr=400.0))  # cloud step
+        elif k < 3 * q:
+            exogs.append(dataclasses.replace(u, v_g=0.55))     # deep sag
+        else:
+            exogs.append(dataclasses.replace(u, dw_g=0.5 / 60.0,
+                                             t_g=3 * q * dt))  # freq excursion
+    traj_truth = scipy_ref.run_trajectory(p, exogs)  # [n_steps+1, n_s] f64
+
+    n = 128  # minimum legal Pallas tile width
+    pf = p.astype(jnp.float32)
+    pb = jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), pf)
+    p_pack = pack_struct(pb, P_FIELDS)
+    use_pallas = _use_pallas("auto", n, n)
+    interpret = not use_pallas
+
+    @jax.jit
+    def win(y, t0, u_pack):
+        return rk4_window_batch(y, t0, p_pack, u_pack, n_ph=p.n_ph,
+                                n_sub=n_sub, dt=dt, block=n,
+                                interpret=interpret)
+
+    y = jnp.broadcast_to(jnp.asarray(traj_truth[0], jnp.float32),
+                         (n, traj_truth.shape[1]))
+    errs = np.zeros(n_steps)
+    for k, uu in enumerate(exogs):
+        ub = jax.tree.map(
+            lambda v: jnp.full((n,), v, jnp.float32), uu.astype(jnp.float32))
+        y = win(y, jnp.full((n,), k * dt, jnp.float32), pack_struct(ub, U_FIELDS))
+        # compare on host in f64 (the bench process runs with x64 disabled)
+        errs[k] = float(np.max(np.abs(
+            np.asarray(y[0], np.float64) - traj_truth[k + 1])))
+    max_err = float(errs.max())
+    log(f"f32 {'pallas' if use_pallas else 'interpret'} path vs LSODA f64 "
+        f"truth ({preset}, n_sub={n_sub}, {n_steps} windows): "
+        f"max_abs_err={max_err:.3e} (final-window {errs[-1]:.3e})")
+    return max_err
 
 
 BASELINE_CONFIGS = {
@@ -52,7 +152,7 @@ BASELINE_CONFIGS = {
             cfg_kw=dict(voltvar_enable=True)),
     3: dict(preset="10", n_envs=8192,
             cfg_kw=dict(anomaly_detect=True,
-                        scen=dict(p_sag=0.9, sag_depth_lo=0.2,
+                        scen=dict(p_sag=0.9, p_freq=0.1, sag_depth_lo=0.2,
                                   sag_depth_hi=0.85))),
     4: dict(preset="10", n_envs=16384,
             cfg_kw=dict(mppt_enable=True,
@@ -133,11 +233,21 @@ def main():
     ap.add_argument("--config", type=int, choices=sorted(BASELINE_CONFIGS),
                     help="run a BASELINE.md config (1-5) instead of the "
                          "headline 8192-env benchmark")
+    ap.add_argument("--measure-oracle", action="store_true",
+                    help="also live-measure the scipy oracle rate (reported "
+                         "as oracle_live; the vs_baseline denominator stays "
+                         "pinned to BASELINE.md)")
+    ap.add_argument("--no-accuracy", action="store_true",
+                    help="skip the f32-vs-f64-truth accuracy gate")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent compilation cache")
     args = ap.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_cache:
+        enable_compilation_cache()
     import jax.numpy as jnp
 
     from pvderx.env import make_env_config
@@ -157,10 +267,12 @@ def main():
             extra_cfg["scen"] = ScenarioConfig(**{
                 **dataclasses.asdict(ScenarioConfig()), **extra_cfg["scen"]})
 
+    oracle_rate = ORACLE_BASELINE[args.preset]
+    oracle_live = measure_oracle(args.preset) if args.measure_oracle else None
+
     if fleet_m is not None:
         backend = jax.default_backend()
         rate = bench_fleet(args, fleet_m)
-        oracle_rate = measure_oracle(args.preset)
         print(json.dumps({
             "metric": "env_steps_per_s", "value": round(rate, 1),
             "unit": "env-steps/s",
@@ -168,7 +280,9 @@ def main():
             "config": {"baseline_config": args.config, "fleet_m": fleet_m,
                        "preset": args.preset, "n_envs": args.n_envs,
                        "n_sub": args.n_sub, "backend": backend,
-                       "oracle_env_steps_per_s": round(oracle_rate, 1)},
+                       "oracle_env_steps_per_s": oracle_rate,
+                       "oracle_source": "pinned(BASELINE.md)",
+                       "oracle_live": oracle_live},
         }))
         return
 
@@ -184,7 +298,8 @@ def main():
     t0 = time.perf_counter()
     state, obs = reset_batch(keys)
     jax.block_until_ready(obs)
-    log(f"reset (compile+run): {time.perf_counter() - t0:.1f}s")
+    reset_compile_s = time.perf_counter() - t0
+    log(f"reset (compile+run): {reset_compile_s:.1f}s")
 
     policy = lambda ob, k: jnp.zeros((ob.shape[0],), jnp.int32)
     ro = jax.jit(
@@ -195,7 +310,8 @@ def main():
     t0 = time.perf_counter()
     state, obs, rews, dones = ro(state, obs, jax.random.PRNGKey(1))
     jax.block_until_ready(rews)
-    log(f"rollout chunk (compile+run): {time.perf_counter() - t0:.1f}s")
+    rollout_compile_s = time.perf_counter() - t0
+    log(f"rollout chunk (compile+run): {rollout_compile_s:.1f}s")
 
     times = []
     for r in range(args.reps):
@@ -208,18 +324,25 @@ def main():
     log(f"times={['%.3f' % t for t in times]} best={best:.3f}s "
         f"-> {rate:,.0f} env-steps/s")
 
-    oracle_rate = measure_oracle(args.preset)
+    max_err_f32 = None
+    if not args.no_accuracy:
+        max_err_f32 = measure_f32_accuracy(args.preset, n_sub=args.n_sub)
 
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / oracle_rate, 1),
+        "max_abs_err_f32": max_err_f32,
+        "reset_compile_s": round(reset_compile_s, 1),
+        "rollout_compile_s": round(rollout_compile_s, 1),
         "config": {
             "baseline_config": args.config,
             "preset": args.preset, "n_envs": args.n_envs,
             "n_sub": args.n_sub, "backend": backend,
-            "oracle_env_steps_per_s": round(oracle_rate, 1),
+            "oracle_env_steps_per_s": oracle_rate,
+            "oracle_source": "pinned(BASELINE.md)",
+            "oracle_live": oracle_live,
         },
     }))
 

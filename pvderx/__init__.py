@@ -8,6 +8,9 @@ __version__ = "0.2.0"
 # Lazy top-level conveniences (the MIGRATION.md surface) — resolved on first
 # access so `import pvderx` stays light for physics-only users.
 _LAZY = {
+    "check_parameters": ("pvderx.checks", "check_parameters"),
+    "check_scenario": ("pvderx.checks", "check_scenario"),
+    "creation_message": ("pvderx.checks", "creation_message"),
     "make_env_config": ("pvderx.env", "make_env_config"),
     "EventBuilder": ("pvderx.scenario", "EventBuilder"),
     "DynamicSimulation": ("pvderx.sim", "DynamicSimulation"),

@@ -66,9 +66,12 @@ class ScenarioConfig:
     p_load: float = 0.2       # P(local load step)
     load_g_hi: float = 0.5
     zg_jitter: float = 0.0    # +- relative jitter on grid R/X at reset
-    fleet_s_jitter: float = 0.0  # +- per-unit insolation spread (fleet only):
-                                 # unit k sees s_irr * (1 + jitter*u_k),
-                                 # u_k ~ U(-1, 1) drawn once per episode
+    fleet_s_jitter: float = 0.0  # per-unit insolation shading (fleet only):
+                                 # unit k sees s_irr * (1 - jitter*u_k),
+                                 # u_k ~ U(0, 1) drawn once per episode
+                                 # (shading only — scale > 1 can exceed the
+                                 # current-limited capability, where no
+                                 # steady state exists; see env/fleet.py)
 
 
 @pytree_dataclass(meta=(
@@ -124,6 +127,9 @@ class EnvState:
     rt: RideThroughState
     mppt: MPPTState
     key: jnp.ndarray         # PRNG key (for auto-reset rescheduling)
+    init_res: jnp.ndarray    # max-abs Newton residual of the episode's
+                             # steady-state init (SURVEY §2.1 #9: init sanity;
+                             # surfaced in the gym adapter's reset info)
     # cached episode-initial quantities (auto-reset without Newton, see module
     # doc). obs0/ppv0 are valid across soft resets because the randomized
     # events are mid-episode only — the t=0 baseline (s0, tc0, nominal grid)
@@ -156,6 +162,9 @@ def make_env_config(
             f"n_sub={n_sub} gives h*|lambda|max > 2.785 (RK4 stability bound) "
             "for the shipped presets; use n_sub >= 40 (SPEC.md §6)")
     der = der if der is not None else make_params(preset)
+    from pvderx.checks import check_parameters, check_scenario
+    check_parameters(der)
+    check_scenario(scen or ScenarioConfig())
     cfg = EnvConfig(
         der=der.astype(dtype),
         rt=jax.tree.map(lambda v: jnp.asarray(v, dtype), default_rt_params(rt_enabled)),
@@ -301,7 +310,7 @@ def reset(cfg: EnvConfig, key):
     exog0 = make_exog(sched, jnp.zeros((), dtype), vdc_ref0, q_ref0,
                       jnp.ones((), dtype), jnp.zeros((), dtype))
     f = lambda y: rhs_core.rhs(y, jnp.zeros((), dtype), der, exog0, jnp)
-    y0, _res = newton_solve(f, rhs_core.steady_state_guess(der, exog0, jnp), iters=20)
+    y0, res = newton_solve(f, rhs_core.steady_state_guess(der, exog0, jnp), iters=20)
     y0 = y0.astype(dtype)
 
     g = rhs_core.algebra(y0, jnp.zeros((), dtype), der, exog0, jnp)
@@ -310,7 +319,8 @@ def reset(cfg: EnvConfig, key):
         t_step=jnp.zeros((), jnp.int32),
         vdc_ref=vdc_ref0, q_ref=q_ref0,
         rt=rt_init(dtype), mppt=mppt_init(g.p_pv, dtype),
-        key=k_state, y0=y0, s0=s0, tc0=tc0,
+        key=k_state, init_res=jnp.asarray(res, dtype),
+        y0=y0, s0=s0, tc0=tc0,
         obs0=jnp.zeros((OBS_DIM,), dtype), ppv0=jnp.asarray(g.p_pv, dtype),
     )
     obs = _obs(cfg, st, g, exog0, jnp.zeros((), dtype))

@@ -43,6 +43,8 @@ class FleetState:
     rt: RideThroughState    # leaves [M, ...]
     mppt: object            # MPPTState leaves [M]
     key: jnp.ndarray
+    init_res: jnp.ndarray   # max-abs Newton residual of the coupled
+                            # steady-state init (init sanity, SURVEY §2.1 #9)
     y0: jnp.ndarray
     s0: jnp.ndarray
     tc0: jnp.ndarray
@@ -79,9 +81,13 @@ def reset(fc: FleetConfig, key):
     sc = cfg.scen
     s0 = jax.random.uniform(kb1, (), dtype, minval=sc.s0_lo, maxval=sc.s0_hi)
     tc0 = jax.random.uniform(kb2, (), dtype, minval=sc.tc_lo, maxval=sc.tc_hi)
-    # per-unit insolation spread (partial clouding), fixed for the episode
-    s_scale = 1.0 + sc.fleet_s_jitter * jax.random.uniform(
-        kb3, (m,), dtype, minval=-1.0, maxval=1.0)
+    # per-unit insolation spread (partial clouding), fixed for the episode.
+    # Shading only (scale in (1-jitter, 1]): a scale > 1 can push a unit past
+    # its current-limited capability at high s0, where NO steady state exists
+    # (dxDC/dt = 0 forces Vdc == vdc_ref, unreachable beyond the limit) —
+    # found by tests/test_checks.py::test_fleet_reset_residual, where both
+    # Newton and scipy fsolve rightly failed on such a draw.
+    s_scale = 1.0 - sc.fleet_s_jitter * jax.random.uniform(kb3, (m,), dtype)
     # shared-feeder impedance jitter: one draw, broadcast to all units
     der1 = env_core._jitter_params(k_jit, cfg.der, sc, dtype)
     der = fl.fleetify(der1, m, jnp)
@@ -97,7 +103,7 @@ def reset(fc: FleetConfig, key):
     n_s = 6 * cfg.der.n_ph + 5
     f = lambda yf: fl.fleet_rhs(
         yf.reshape(m, n_s), jnp.zeros((), dtype), der, fu, jnp).reshape(-1)
-    y0, _ = newton_solve(f, fl.fleet_guess(der, fu, jnp).reshape(-1), iters=15)
+    y0, res = newton_solve(f, fl.fleet_guess(der, fu, jnp).reshape(-1), iters=15)
     y0 = y0.reshape(m, n_s).astype(dtype)
 
     g = fl.fleet_algebra(y0, jnp.zeros((), dtype), der, fu, jnp)
@@ -110,7 +116,8 @@ def reset(fc: FleetConfig, key):
                     t_step=jnp.zeros((), jnp.int32),
                     vdc_ref=vdc_ref, q_ref=q_ref, s_scale=s_scale,
                     rt=rt, mppt=mppt,
-                    key=k_state, y0=y0, s0=s0, tc0=tc0,
+                    key=k_state, init_res=jnp.asarray(res, dtype),
+                    y0=y0, s0=s0, tc0=tc0,
                     obs0=jnp.zeros((OBS_DIM,), dtype),
                     ppv0=jnp.asarray(g.p_pv, dtype))
     obs = _obs(fc, st, g, fu, jnp.zeros((), dtype))

@@ -39,8 +39,11 @@ class PVDEREnv(_BASE):
     metadata = {"render_modes": ["ansi"]}
 
     def __init__(self, preset: str = "10", seed: int = 0, render_mode=None,
-                 cfg: core.EnvConfig | None = None, **cfg_kw):
+                 cfg: core.EnvConfig | None = None, strict_init: bool = False,
+                 init_res_tol: float = 1e-5, **cfg_kw):
         self.cfg = cfg if cfg is not None else core.make_env_config(preset, **cfg_kw)
+        self.strict_init = bool(strict_init)
+        self.init_res_tol = float(init_res_tol)
         self._reset_fn = jax.jit(lambda k: core.reset(self.cfg, k))
         self._step_fn = jax.jit(lambda s, a: core.step(self.cfg, s, a))
         self._key = jax.random.PRNGKey(seed)
@@ -60,12 +63,27 @@ class PVDEREnv(_BASE):
                 low=-np.inf, high=np.inf, shape=(core.OBS_DIM,), dtype=np.float32)
 
     def reset(self, *, seed=None, options=None):
+        # Gymnasium contract: seed the inherited np_random too (the env's own
+        # randomness is the JAX PRNG key, but `check_env` and seed-forwarding
+        # wrappers expect `super().reset(seed=...)` semantics).
+        if _HAS_GYM:
+            super().reset(seed=seed, options=options)
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._key, k = jax.random.split(self._key)
         self._state, obs = self._reset_fn(k)
         self._last = None
-        return np.asarray(obs, np.float32), {}
+        # init sanity (SURVEY §2.1 #9): surface the Newton residual of the
+        # episode's steady-state init; strict mode rejects a failed solve
+        # (e.g. aggressive zg_jitter + deep-sag randomization) instead of
+        # silently starting the episode from garbage.
+        init_res = float(self._state.init_res)
+        if self.strict_init and not (init_res <= self.init_res_tol):
+            raise RuntimeError(
+                f"steady-state init failed: Newton residual {init_res:.3e} > "
+                f"tol {self.init_res_tol:g} (randomized scenario too "
+                "aggressive for the Newton basin — see pvderx.checks)")
+        return np.asarray(obs, np.float32), {"init_res": init_res}
 
     def step(self, action):
         if self.cfg.continuous:
@@ -155,12 +173,15 @@ class PVDERVectorEnv(_VBASE):
                 self.single_observation_space, self.num_envs)
 
     def reset(self, *, seed=None, options=None):
+        if _HAS_GYM:
+            super().reset(seed=seed, options=options)
         if seed is not None:
             self._key = jax.random.PRNGKey(int(seed))
         self._key, k = jax.random.split(self._key)
         keys = jax.random.split(k, self.num_envs)
         self._state, obs = self._reset_fn(keys)
-        return np.asarray(obs, np.float32), {}
+        return (np.asarray(obs, np.float32),
+                {"init_res": np.asarray(self._state.init_res)})
 
     def step(self, actions):
         if self.cfg.continuous:

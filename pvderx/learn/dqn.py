@@ -128,7 +128,8 @@ def make_dqn(env_cfg, dqn: DQNConfig,
             k_eps, k_rand = jax.random.split(k)
             q = net.apply(params, ob)
             greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
-            rand = jax.random.randint(k_rand, greedy.shape, 0, n_actions)
+            rand = jax.random.randint(k_rand, greedy.shape, 0, n_actions,
+                                      dtype=jnp.int32)
             explore = jax.random.uniform(k_eps, greedy.shape, dtype) < eps
             a = jnp.where(explore, rand, greedy)
             st, ob2, r, d, _ = step_env(st, a)
@@ -141,7 +142,9 @@ def make_dqn(env_cfg, dqn: DQNConfig,
     def _insert(rp: Replay, traj: Batch) -> Replay:
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
         n = flat.rew.shape[0]
-        idx = (rp.ptr + jnp.arange(n)) % dqn.capacity
+        # int32 throughout: an int64 scatter index into int32-indexed buffers
+        # warns (and will error) under strict promotion when x64 is on
+        idx = (rp.ptr + jnp.arange(n, dtype=jnp.int32)) % dqn.capacity
         return Replay(
             obs=rp.obs.at[idx].set(flat.obs),
             act=rp.act.at[idx].set(flat.act),
@@ -153,7 +156,7 @@ def make_dqn(env_cfg, dqn: DQNConfig,
 
     def _sample(rp: Replay, key) -> Batch:
         idx = jax.random.randint(key, (dqn.batch_size,), 0,
-                                 jnp.maximum(rp.size, 1))
+                                 jnp.maximum(rp.size, 1), dtype=jnp.int32)
         return Batch(rp.obs[idx], rp.act[idx], rp.rew[idx], rp.nobs[idx],
                      rp.done[idx])
 
@@ -202,4 +205,5 @@ def make_dqn(env_cfg, dqn: DQNConfig,
                        opt_state=opt_state, replay=rp, env_state=env_state,
                        obs=obs, key=k_next, update_i=update_i), metrics
 
+    train_step.optimizer = tx  # for dist.tp.shard_runner_tp placement
     return init_runner, train_step, net

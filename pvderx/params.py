@@ -136,8 +136,15 @@ _SHARED = dict(
 )
 
 
-def make_params(preset: str = "10", **overrides) -> DERParams:
-    """Build a :class:`DERParams` (python-float leaves) from a named preset."""
+def make_params(preset: str = "10", validate: bool = True,
+                **overrides) -> DERParams:
+    """Build a :class:`DERParams` (python-float leaves) from a named preset.
+
+    With ``validate=True`` (default) the result is range- and
+    consistency-checked (`pvderx.checks.check_parameters`, the reference's
+    `check_parameters` analog — SURVEY.md §2.1 #9) and bad values raise
+    ``ValueError`` listing every violation.
+    """
     c = PRESETS[preset]
     v_base = math.sqrt(2.0) * c["v_rms"]
     s_base = c["s_rated"] / c["n_ph"]
@@ -164,7 +171,11 @@ def make_params(preset: str = "10", **overrides) -> DERParams:
         **_SHARED,
     )
     kw.update(overrides)
-    return DERParams(**kw)
+    der = DERParams(**kw)
+    if validate:
+        from pvderx.checks import check_parameters
+        check_parameters(der)
+    return der
 
 
 __all__ = [

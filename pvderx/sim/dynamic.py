@@ -43,7 +43,8 @@ def init_from_schedule(cfg: EnvConfig, sched: EventSchedule,
         der=cfg.der, sched=sched, y=y0.astype(dtype),
         t_step=jnp.zeros((), jnp.int32), vdc_ref=vdc_ref, q_ref=q_ref,
         rt=rt_init(dtype), mppt=mppt_init(g.p_pv, dtype),
-        key=jax.random.PRNGKey(0), y0=y0.astype(dtype),
+        key=jax.random.PRNGKey(0), init_res=jnp.asarray(res, dtype),
+        y0=y0.astype(dtype),
         s0=s0, tc0=exog0.t_cell,
         # standalone sims never auto-reset; the cached-obs fields are unused
         obs0=jnp.zeros((env_core.OBS_DIM,), dtype),

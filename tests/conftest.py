@@ -19,3 +19,60 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# Long-running tests (>~12 s on the 2-core CI host), auto-marked `slow` so
+# `pytest -m "not slow"` is a <3 min fast gate (pytest.ini). The fast path
+# keeps the oracle-equivalence core: per-scenario RK4-vs-LSODA trajectory
+# gates, episode obs/returns vs the oracle twin, physics unit tests, env
+# contract (incl. gymnasium check_env), and one representative of each
+# subsystem. Durations: pytest --durations=25.
+_SLOW = {
+    "test_two_process_distributed_rollout",
+    "test_sharded_ppo_train_step",
+    "test_fleet_ppo_sharded_over_mesh",
+    "test_sharded_pallas_window_matches_single_device",
+    "test_shard_runner_and_sac_over_mesh",
+    "test_graft_dryrun_entry",
+    "test_dqn_train_step_runs_and_is_deterministic",
+    "test_dqn_updates_params_and_stays_finite",
+    "test_dqn_target_sync_is_periodic",
+    "test_sac_train_step_runs_and_is_deterministic",
+    "test_ppo_anomaly_head_width",
+    "test_tp_train_step_matches_dp_only",
+    "test_env_step_pallas_matches_scan",
+    "test_fleet_batch_pallas_matches_scan",
+    "test_fleet_batch_pallas_matches_scan_three_phase_unbalanced",
+    "test_fleet_jitter_pallas_matches_scan",
+    "test_fleet_ppo_train_step",
+    "test_random_scenarios_property_equivalence",
+    "test_random_unbalanced_scenarios_property",
+    "test_const_vdc_trajectory_vs_oracle",
+    "test_checkpoint_resume_bitwise",
+    "test_rollout_runs_and_mppt_voltvar_variants",
+    "test_vector_env_contract",
+    "test_vector_env_matches_single_env",
+    "test_check_env_registered_id",
+    "test_fleet_dqn_train_step",
+    "test_replay_wraps_circularly",
+    "test_sharded_env_step_matches_single_device",
+    "test_dqn_anomaly_head_width",
+    "test_grad_through_trajectory_matches_finite_difference",
+    "test_gradient_step_reduces_tracking_error",
+    "test_fleet_vmap_batch",
+    "test_vmap_matches_single",
+    "test_implicit_integrators_vs_oracle",
+    "test_kernel_matches_scan_unbalanced",
+    "test_rollout_bitwise_reproducible",
+    "test_fleet_reset_residual",
+    "test_miss_penalized_vs_baseline_env",
+    # param-specific (the [10-72] twin stays in the fast oracle gate)
+    "test_episode_obs_and_returns_match_oracle[50-88]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _SLOW or item.name.split("[")[0] in _SLOW:
+            item.add_marker(pytest.mark.slow)
