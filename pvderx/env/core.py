@@ -165,10 +165,14 @@ def make_env_config(
     from pvderx.checks import check_parameters, check_scenario
     check_parameters(der)
     check_scenario(scen or ScenarioConfig())
+    # numpy leaves throughout the config (see DERParams.astype): the config is
+    # closed over by every jitted fn, and device-array constants cost one
+    # device->host fetch each at lowering time
+    import numpy as np
     cfg = EnvConfig(
         der=der.astype(dtype),
-        rt=jax.tree.map(lambda v: jnp.asarray(v, dtype), default_rt_params(rt_enabled)),
-        scen=jax.tree.map(lambda v: jnp.asarray(v, dtype), scen or ScenarioConfig()),
+        rt=jax.tree.map(lambda v: np.asarray(v, dtype), default_rt_params(rt_enabled)),
+        scen=jax.tree.map(lambda v: np.asarray(v, dtype), scen or ScenarioConfig()),
         dt_ctrl=dt_ctrl,
         dq_action=0.01, dv_action=0.005,
         q_lo=-0.5, q_hi=0.5, v_lo=0.7, v_hi=1.2,

@@ -77,7 +77,15 @@ class DERParams:
         return 6 * self.n_ph + 5
 
     def astype(self, dtype):
-        return jax.tree.map(lambda v: jnp.asarray(v, dtype), self)
+        # numpy (host) leaves, NOT device arrays: params are closed over by
+        # jitted fns as constants, and MLIR lowering must fetch every
+        # device-array constant back to the host (`Array._value`) to embed
+        # it — one device round-trip per leaf, which on a remote-tunneled
+        # TPU turns lowering into minutes when the link degrades (measured
+        # 50 fetches x 8 s in round 3). numpy leaves embed for free and are
+        # numerically identical under tracing.
+        import numpy as np
+        return jax.tree.map(lambda v: np.asarray(v, dtype), self)
 
 
 @pytree_dataclass
