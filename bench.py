@@ -117,16 +117,32 @@ def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
 
     n = 128  # minimum legal Pallas tile width
     pf = p.astype(jnp.float32)
-    pb = jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), pf)
+    pb = jax.tree.map(lambda v: jnp.broadcast_to(jnp.asarray(v), (n,)), pf)
     p_pack = pack_struct(pb, P_FIELDS)
     use_pallas = _use_pallas("auto", n, n)
-    interpret = not use_pallas
 
-    @jax.jit
-    def win(y, t0, u_pack):
-        return rk4_window_batch(y, t0, p_pack, u_pack, n_ph=p.n_ph,
-                                n_sub=n_sub, dt=dt, block=n,
-                                interpret=interpret)
+    if use_pallas:
+        @jax.jit
+        def win(y, t0, u_pack):
+            return rk4_window_batch(y, t0, p_pack, u_pack, n_ph=p.n_ph,
+                                    n_sub=n_sub, dt=dt, block=n)
+    else:
+        # CPU fallback: the jitted f32 scan path (same physics core) — the
+        # interpret-mode kernel would take minutes for 120 windows
+        from pvderx.ode import rk4_window
+        from pvderx.ops.window import unpack_struct
+        from pvderx.params import Exog
+        from pvderx.physics import rhs_core
+
+        @jax.jit
+        def win(y, t0, u_pack):
+            u = unpack_struct(Exog, u_pack, U_FIELDS)
+
+            def one(yi, ti, ui):
+                f = lambda yy, tt: rhs_core.rhs(yy, tt, pf, ui, jnp)
+                return rk4_window(f, yi, ti, jnp.float32(dt), n_sub)
+
+            return jax.vmap(one)(y, t0, u)
 
     y = jnp.broadcast_to(jnp.asarray(traj_truth[0], jnp.float32),
                          (n, traj_truth.shape[1]))
@@ -139,7 +155,7 @@ def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
         errs[k] = float(np.max(np.abs(
             np.asarray(y[0], np.float64) - traj_truth[k + 1])))
     max_err = float(errs.max())
-    log(f"f32 {'pallas' if use_pallas else 'interpret'} path vs LSODA f64 "
+    log(f"f32 {'pallas' if use_pallas else 'scan'} path vs LSODA f64 "
         f"truth ({preset}, n_sub={n_sub}, {n_steps} windows): "
         f"max_abs_err={max_err:.3e} (final-window {errs[-1]:.3e})")
     return max_err
