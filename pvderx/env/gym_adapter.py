@@ -203,8 +203,68 @@ class PVDERVectorEnv(_VBASE):
         self._state = None
 
 
+class PVDERFleetEnv(_BASE):
+    """Gymnasium adapter for the multi-DER shared-feeder fleet env
+    (BASELINE config 5; `pvderx.env.fleet`): M inverters per episode, one
+    fleet-level Discrete(5) action, aggregate Box(13) observation. The
+    reference has no fleet concept (1 DER per sim, SURVEY.md §2.5) — this is
+    the pvderx extension surface; the batched TPU path is
+    `pvderx.env.fleet.make_fleet_batch_fns`."""
+
+    metadata = {"render_modes": ["ansi"]}
+
+    def __init__(self, preset: str = "10", m: int = 16, seed: int = 0,
+                 render_mode=None, fc=None, **cfg_kw):
+        from pvderx.env import fleet
+
+        self.fc = fc if fc is not None else fleet.make_fleet_config(
+            preset, m=m, **cfg_kw)
+        self._reset_fn = jax.jit(lambda k: fleet.reset(self.fc, k))
+        self._step_fn = jax.jit(lambda s, a: fleet.step(self.fc, s, a))
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+        self._last = None
+        self.render_mode = render_mode
+        if _HAS_GYM:
+            self.action_space = spaces.Discrete(core.N_ACTIONS)
+            self.observation_space = spaces.Box(
+                low=-np.inf, high=np.inf, shape=(core.OBS_DIM,),
+                dtype=np.float32)
+
+    def reset(self, *, seed=None, options=None):
+        if _HAS_GYM:
+            super().reset(seed=seed, options=options)
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, k = jax.random.split(self._key)
+        self._state, obs = self._reset_fn(k)
+        self._last = None
+        return (np.asarray(obs, np.float32),
+                {"init_res": float(self._state.init_res)})
+
+    def step(self, action):
+        a = jnp.asarray(int(action), jnp.int32)
+        self._state, obs, reward, done, info = self._step_fn(self._state, a)
+        info_np = {k: np.asarray(v) for k, v in info.items()}
+        terminated = bool(info_np.pop("terminated"))
+        truncated = bool(info_np.pop("truncated"))
+        self._last = info_np
+        return (np.asarray(obs, np.float32), float(reward),
+                terminated, truncated, info_np)
+
+    def render(self):
+        if self._last is None:
+            return f"PVDERFleet(m={self.fc.m}, t=0)"
+        i = self._last
+        return (f"t={int(self._state.t_step)} m={self.fc.m} "
+                f"Vdc={float(i['vdc']):.4f} |V|={float(i['v_mag']):.3f} "
+                f"P={float(i['p_pcc']):.3f} "
+                f"tripped={float(i['tripped_frac']):.2f}")
+
+
 def register_envs():
-    """Register `pvderx/PVDER-v0` with Gymnasium (reference: `PVDER-v0`)."""
+    """Register `pvderx/PVDER-v0` (reference: `PVDER-v0`) and the fleet
+    extension `pvderx/PVDERFleet-v0` with Gymnasium."""
     if not _HAS_GYM:
         return
     from gymnasium.envs.registration import register, registry
@@ -212,6 +272,9 @@ def register_envs():
         register(id="pvderx/PVDER-v0",
                  entry_point="pvderx.env.gym_adapter:PVDEREnv",
                  vector_entry_point="pvderx.env.gym_adapter:PVDERVectorEnv")
+    if "pvderx/PVDERFleet-v0" not in registry:
+        register(id="pvderx/PVDERFleet-v0",
+                 entry_point="pvderx.env.gym_adapter:PVDERFleetEnv")
 
 
 if _HAS_GYM:

@@ -32,6 +32,23 @@ def test_check_env_all_variants(kw):
         check_env(env, skip_render_check=False)
 
 
+def test_check_env_fleet():
+    """The fleet adapter (BASELINE config 5 surface) passes the real
+    checker too."""
+    from pvderx.env.gym_adapter import PVDERFleetEnv
+
+    env = PVDERFleetEnv("10", m=4, n_sub=40, horizon=12)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        warnings.filterwarnings("ignore", message=".*Box observation space.*")
+        warnings.filterwarnings("ignore", message=".*render modes.*")
+        check_env(env, skip_render_check=False)
+    env2 = gym.make("pvderx/PVDERFleet-v0", m=4, n_sub=40, horizon=12)
+    obs, info = env2.reset(seed=1)
+    assert info["init_res"] < 1e-3 and obs.shape == (13,)
+    env2.close()
+
+
 def test_check_env_registered_id():
     env = gym.make("pvderx/PVDER-v0", n_sub=40)
     with warnings.catch_warnings():
