@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--fleet-m", type=int, default=0,
                     help="train on the M-DER shared-feeder fleet env "
                          "(BASELINE config 5); 0 = single-DER env")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="model-axis size for optional tensor parallelism "
+                         "(2-D (env, model) mesh, pvderx.dist.tp; needs "
+                         "device_count %% tp == 0). Default 1 = DP only.")
     ap.add_argument("--ckpt", default="", help="checkpoint dir (optional)")
     ap.add_argument("--metrics", default="/tmp/pvderx_ppo_metrics.jsonl")
     ap.add_argument("--cpu", action="store_true")
@@ -49,7 +53,13 @@ def main():
                               voltvar_enable=args.voltvar)
     init_runner, train_step, _ = make_ppo(cfg, PPOConfig())
     runner = init_runner(jax.random.PRNGKey(0), args.n_envs)
-    if jax.device_count() > 1:
+    if args.tp > 1:
+        from pvderx.dist import make_mesh_2d, shard_runner_tp
+        mesh2 = make_mesh_2d(jax.device_count() // args.tp, args.tp)
+        runner = shard_runner_tp(runner, mesh2, train_step.optimizer)
+        log.info("2-D (env=%d, model=%d) mesh: env batch DP-sharded, "
+                 "learner MLP tensor-parallel", *mesh2.devices.shape)
+    elif jax.device_count() > 1:
         runner = shard_runner(runner, make_mesh())
         log.info("sharded over %d devices", jax.device_count())
     ts = jax.jit(train_step, donate_argnums=(0,))

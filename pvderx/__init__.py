@@ -3,7 +3,14 @@ from pvderx.params import DERParams, Exog, make_params, nominal_exog, PRESETS
 from pvderx.models import DER_MODEL_TYPES, make_der
 from pvderx import physics
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+# Register the Gymnasium env ids at package import, like the reference's
+# `import gym_PVDER` (SURVEY.md §2.1 #1). No-op if gymnasium is absent.
+try:
+    from pvderx.env import gym_adapter as _gym_adapter  # noqa: F401
+except Exception:  # pragma: no cover - gymnasium is present in this image
+    pass
 
 # Lazy top-level conveniences (the MIGRATION.md surface) — resolved on first
 # access so `import pvderx` stays light for physics-only users.

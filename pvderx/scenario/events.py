@@ -100,6 +100,13 @@ class EventBuilder:
     def remove_load_event(self, t):
         self._load = [e for e in self._load if e[0] != t or e[0] == 0.0]
 
+    def reset(self):
+        """Drop every scripted event, keeping only the t=0 baselines
+        (reference analog: `SimulationEvents.reset()`, SURVEY.md §2.1 #5)."""
+        self._solar = self._solar[:1]
+        self._grid = self._grid[:1]
+        self._load = self._load[:1]
+
     @staticmethod
     def _table(rows, k, cols, dtype):
         # pad short rows (e.g. 4-column grid rows from pre-unbalance configs)

@@ -34,6 +34,13 @@ def test_event_builder_api():
     ev.remove_grid_event(1.0)
     sched2 = ev.build()
     assert float(active_row(sched2.grid, 1.2)[1]) == 1.0
+    # reset() drops all scripted events, keeps the t=0 baselines
+    ev.add_solar_event(2.0, 500.0)
+    ev.reset()
+    sched3 = ev.build()
+    assert float(active_row(sched3.solar, 5.0)[1]) == 1000.0
+    assert float(active_row(sched3.grid, 5.0)[1]) == 1.0
+    assert float(active_row(sched3.load, 5.0)[1]) == 0.0
 
 
 def test_ride_through_timers_and_latch():
