@@ -86,8 +86,8 @@ def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
     +0.5 Hz frequency excursion — the test_trajectory.py hard-scenario
     family) through `ops.window.rk4_window_batch` in float32 on the attached
     device and compares the state trajectory at every window boundary against
-    the scipy-LSODA rtol=1e-10 truth (float64, host). Returns
-    (max_abs_err_f32, max_abs_err_per_step). SPEC.md §6 cites this number.
+    the scipy-LSODA rtol=1e-10 truth (float64, host). Returns the max
+    abs error over all window boundaries (float). SPEC.md §6 cites it.
     """
     import jax
     import jax.numpy as jnp

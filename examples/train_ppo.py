@@ -55,6 +55,10 @@ def main():
     runner = init_runner(jax.random.PRNGKey(0), args.n_envs)
     if args.tp > 1:
         from pvderx.dist import make_mesh_2d, shard_runner_tp
+        if jax.device_count() % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide device_count="
+                f"{jax.device_count()}")
         mesh2 = make_mesh_2d(jax.device_count() // args.tp, args.tp)
         runner = shard_runner_tp(runner, mesh2, train_step.optimizer)
         log.info("2-D (env=%d, model=%d) mesh: env batch DP-sharded, "

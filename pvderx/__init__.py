@@ -6,11 +6,13 @@ from pvderx import physics
 __version__ = "0.3.0"
 
 # Register the Gymnasium env ids at package import, like the reference's
-# `import gym_PVDER` (SURVEY.md §2.1 #1). No-op if gymnasium is absent.
-try:
+# `import gym_PVDER` (SURVEY.md §2.1 #1). Skipped only when gymnasium itself
+# is absent — a real import error in the env stack must surface, not be
+# swallowed into a later "No registered env with id" mystery.
+import importlib.util as _ilu
+
+if _ilu.find_spec("gymnasium") is not None:
     from pvderx.env import gym_adapter as _gym_adapter  # noqa: F401
-except Exception:  # pragma: no cover - gymnasium is present in this image
-    pass
 
 # Lazy top-level conveniences (the MIGRATION.md surface) — resolved on first
 # access so `import pvderx` stays light for physics-only users.

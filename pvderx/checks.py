@@ -164,8 +164,16 @@ def check_scenario(scen, raise_on_error: bool = True) -> list[str]:
 
 def creation_message(der: DERParams) -> str:
     """Human-readable one-stop summary of a DER model, reference
-    `creation_message`-style (SURVEY.md §2.1 #9). Safe on concrete params."""
+    `creation_message`-style (SURVEY.md §2.1 #9). Batched/traced params get
+    a short structural summary instead of field values."""
     f = lambda n: _concrete(getattr(der, n))
+    needed = ("s_rated", "v_base", "vdc_base", "rf", "lf", "rg", "xg",
+              "np_par", "isc_ref", "gamma", "m_max", "i_max", "tau_dc",
+              "kp_gcc", "ki_gcc", "kp_dc", "ki_dc", "kp_q", "ki_q",
+              "kp_pll", "ki_pll", "const_vdc")
+    if any(f(n) is None for n in needed):
+        return (f"PV-DER: {der.n_ph}-phase, {der.n_states} states "
+                "(batched/traced params — per-unit values not concrete)")
     kva = (f("s_rated") or 0.0) / 1e3
     v_rms = (f("v_base") or 0.0) / math.sqrt(2.0)
     variant = "constant-Vdc " if (f("const_vdc") or 0.0) == 1.0 else ""

@@ -97,20 +97,50 @@ def shard_params_tp(params, mesh: Mesh):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
-def shard_runner_tp(runner, mesh: Mesh, optimizer,
+def _place_opt_state(opt_state, params, mesh: Mesh):
+    """Place an optax state: any subtree with the params' tree structure
+    (Adam mu/nu, momentum buffers, …) gets the params' TP specs leaf-for-
+    leaf; every other leaf (counts, clip state) replicates. Values are
+    preserved — a checkpoint-restored runner keeps its moments. (A jitted
+    `optimizer.init(sharded_params)` does NOT work as a sharding template:
+    zeros_like outputs are value-independent, so the compiler materializes
+    them on the default device.)"""
+    n_model = mesh.shape[MODEL_AXIS]
+    specs = param_partition_specs(params, n_model)
+    p_def = jax.tree_util.tree_structure(params)
+    rep = NamedSharding(mesh, P())
+
+    def place(sub):
+        if jax.tree_util.tree_structure(sub) == p_def:
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                sub, specs)
+        if isinstance(sub, tuple):   # tuple / NamedTuple optax states
+            children = [place(c) for c in sub]
+            return (type(sub)(*children) if hasattr(sub, "_fields")
+                    else tuple(children))
+        if isinstance(sub, list):
+            return [place(c) for c in sub]
+        if isinstance(sub, dict):
+            return {k: place(v) for k, v in sub.items()}
+        return jax.device_put(sub, rep)
+
+    return place(opt_state)
+
+
+def shard_runner_tp(runner, mesh: Mesh, optimizer=None,
                     env_fields=("env_state", "obs", "replay")):
     """Place a learner runner on a 2-D ('env','model') mesh.
 
     Env-batch fields: axis 0 sharded on 'env' (replicated over 'model').
-    Params: TP partition specs. Optimizer state: re-initialized under jit
-    from the sharded params, so Adam's mu/nu inherit the params' shardings
-    (GSPMD propagates input shardings to outputs); count-like scalars
-    replicate. Everything else replicates.
+    Params: TP partition specs. Optimizer state: existing values kept,
+    placed via `_place_opt_state`. Everything else replicates. The
+    `optimizer` argument is unused (kept for API stability).
     """
     from pvderx.dist.sharding import replicate, shard_batch
 
     params = shard_params_tp(runner.params, mesh)
-    opt_state = jax.jit(optimizer.init)(params)
+    opt_state = _place_opt_state(runner.opt_state, runner.params, mesh)
     out = {}
     for f in dataclasses.fields(runner):
         v = getattr(runner, f.name)

@@ -219,6 +219,11 @@ class PVDERFleetEnv(_BASE):
 
         self.fc = fc if fc is not None else fleet.make_fleet_config(
             preset, m=m, **cfg_kw)
+        if self.fc.base.continuous or self.fc.base.anomaly_detect:
+            raise ValueError(
+                "the fleet env is Discrete(5)-only: continuous/anomaly_detect "
+                "modes are single-DER features (pvderx/PVDER-v0); "
+                "fleet._pre_window would silently ignore them")
         self._reset_fn = jax.jit(lambda k: fleet.reset(self.fc, k))
         self._step_fn = jax.jit(lambda s, a: fleet.step(self.fc, s, a))
         self._key = jax.random.PRNGKey(seed)

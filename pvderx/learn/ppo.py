@@ -146,7 +146,7 @@ def make_ppo(env_cfg, ppo: PPOConfig,
         # per-epoch shuffle is a single wide-row gather. Six separate gathers
         # of narrow arrays are index-latency-bound on TPU: measured 55.6 ms
         # vs 0.46 ms packed at T*N=262144 (the shuffle was 83% of the whole
-        # train_step; end-to-end PPO 3.5M -> ~9M env-steps/s). The action
+        # train_step; end-to-end PPO 3.48M -> 6.60M env-steps/s). The action
         # column rides as f32 — exact for small ints — and is cast back on
         # unpack, so the math is bit-identical to the unpacked form.
         mat = jnp.concatenate([

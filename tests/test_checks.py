@@ -70,6 +70,9 @@ def test_traced_params_are_skipped():
 def test_creation_message():
     msg = checks.creation_message(make_params("50"))
     assert "3-phase" in msg and "50 kVA" in msg and "23" in msg
+    # batched params -> structural summary, not a TypeError
+    batched = jax.tree.map(lambda v: jnp.full((4,), v), make_params("50"))
+    assert "batched/traced" in checks.creation_message(batched)
     msg1 = checks.creation_message(make_params("10"))
     assert "1-phase" in msg1 and "10 kVA" in msg1
     msgc = checks.creation_message(make_params("50", const_vdc=1.0))
@@ -156,3 +159,21 @@ def test_gym_adapter_surfaces_init_res():
                       init_res_tol=0.0)
     with pytest.raises(RuntimeError, match="steady-state init failed"):
         strict.reset(seed=0)
+
+
+def test_config_leaves_are_host_arrays():
+    """Configs must hold numpy (host) leaves, never device arrays: every
+    closed-over device-array constant costs one device->host fetch at MLIR
+    lowering time (~50 fetches x link latency on a remote TPU — the round-2
+    'reset compile regression'). Guards pvderx/params.py astype and
+    make_env_config against reintroducing jnp conversions."""
+    import jax
+
+    cfg = core.make_env_config("50", n_sub=40)
+    bad = [
+        p for p, leaf in jax.tree_util.tree_leaves_with_path(cfg)
+        if isinstance(leaf, jax.Array)
+    ]
+    assert not bad, f"device-array config leaves: {bad}"
+    der64 = make_params("10").astype(jnp.float64)
+    assert all(not isinstance(x, jax.Array) for x in jax.tree.leaves(der64))

@@ -47,6 +47,11 @@ def test_check_env_fleet():
     obs, info = env2.reset(seed=1)
     assert info["init_res"] < 1e-3 and obs.shape == (13,)
     env2.close()
+    # single-DER-only modes are rejected, not silently ignored
+    with pytest.raises(ValueError, match="Discrete.5.-only"):
+        PVDERFleetEnv("10", m=4, n_sub=40, anomaly_detect=True)
+    with pytest.raises(ValueError, match="Discrete.5.-only"):
+        PVDERFleetEnv("10", m=4, n_sub=40, continuous=True)
 
 
 def test_check_env_registered_id():

@@ -76,3 +76,21 @@ def test_tp_train_step_matches_dp_only():
     # Adam moments inherited the TP sharding (no host-side spec surgery)
     mu0 = out2.opt_state[1][0].mu["params"]["Dense_0"]["kernel"]
     assert mu0.sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_shard_runner_tp_preserves_optimizer_state():
+    """Placing a mid-training runner on a TP mesh must keep the Adam
+    moments (a checkpoint-restored runner is a continuation, not a
+    restart)."""
+    init_runner, train_step, _net = _tiny_setup()
+    runner = init_runner(jax.random.PRNGKey(1), 16)
+    trained, _ = jax.jit(train_step)(runner)  # nonzero mu/nu + count=updates
+
+    mesh2 = make_mesh_2d(4, 2)
+    placed = shard_runner_tp(trained, mesh2, train_step.optimizer)
+    for old, new in zip(jax.tree.leaves(trained.opt_state),
+                        jax.tree.leaves(placed.opt_state)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    mu0 = placed.opt_state[1][0].mu["params"]["Dense_0"]["kernel"]
+    assert mu0.sharding.spec == P(None, MODEL_AXIS)
+    assert float(np.max(np.abs(np.asarray(mu0)))) > 0.0
