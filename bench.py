@@ -192,7 +192,11 @@ def bench_fleet(args, m: int):
     n = args.n_envs
     fc = fleet.make_fleet_config(args.preset, m=m, n_sub=args.n_sub)
     reset_b = jax.jit(jax.vmap(lambda k: fleet.reset(fc, k)))
+    t0 = time.perf_counter()
     st, obs = reset_b(jax.random.split(jax.random.PRNGKey(0), n))
+    jax.block_until_ready(obs)
+    bench_fleet.reset_compile_s = time.perf_counter() - t0
+    log(f"fleet reset (compile+run): {bench_fleet.reset_compile_s:.1f}s")
     block = min(1024, n)
 
     def chunk(st, key):
@@ -289,10 +293,14 @@ def main():
     if fleet_m is not None:
         backend = jax.default_backend()
         rate = bench_fleet(args, fleet_m)
+        max_err_f32 = (None if args.no_accuracy
+                       else measure_f32_accuracy(args.preset))
         print(json.dumps({
             "metric": "env_steps_per_s", "value": round(rate, 1),
             "unit": "env-steps/s",
             "vs_baseline": round(rate / oracle_rate, 1),
+            "max_abs_err_f32": max_err_f32,
+            "reset_compile_s": round(bench_fleet.reset_compile_s, 1),
             "config": {"baseline_config": args.config, "fleet_m": fleet_m,
                        "preset": args.preset, "n_envs": args.n_envs,
                        "n_sub": args.n_sub, "backend": backend,

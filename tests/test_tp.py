@@ -94,3 +94,33 @@ def test_shard_runner_tp_preserves_optimizer_state():
     mu0 = placed.opt_state[1][0].mu["params"]["Dense_0"]["kernel"]
     assert mu0.sharding.spec == P(None, MODEL_AXIS)
     assert float(np.max(np.abs(np.asarray(mu0)))) > 0.0
+
+
+@pytest.mark.slow
+def test_checkpoint_restore_onto_tp_mesh(tmp_path):
+    """Checkpoint saved from a 1-D env-mesh run restores onto the 2-D
+    (env, model) TP mesh and continues identically — resume across
+    resharding (SURVEY.md §4 determinism item)."""
+    from pvderx.diag.checkpoint import restore, save
+
+    init_runner, train_step, _net = _tiny_setup()
+    runner = init_runner(jax.random.PRNGKey(2), 16)
+    ts = jax.jit(train_step)
+    trained, _ = ts(runner)
+
+    path = str(tmp_path / "ckpt")
+    save(path, trained)
+
+    mesh2 = make_mesh_2d(4, 2)
+    target = shard_runner_tp(trained, mesh2, train_step.optimizer)
+    restored = restore(path, target)
+    k0 = restored.params["params"]["Dense_0"]["kernel"]
+    assert k0.sharding.spec == P(None, MODEL_AXIS)
+
+    out_direct, m_direct = ts(target)
+    out_restored, m_restored = ts(restored)
+    np.testing.assert_allclose(float(m_direct["loss"]),
+                               float(m_restored["loss"]), rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(out_direct.params),
+                    jax.tree.leaves(out_restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
