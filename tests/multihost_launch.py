@@ -65,6 +65,35 @@ for k in range(5):
     total_l = rew_l if total_l is None else total_l + rew_l
 
 err = float(np.max(np.abs(np.asarray(total) - np.asarray(total_l))))
+
+# --- optional TP leg: PPO train step on a 2-D (env, model) mesh whose model
+# axis spans BOTH processes (cross-process Gloo collectives for the Megatron
+# layers; ICI on a real pod). SURVEY.md §2.5 TP row, multi-host flavor. ---
+tp_ok = True
+if len(sys.argv) > 3 and sys.argv[3] == "tp":
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pvderx.dist.tp import MODEL_AXIS, shard_runner_tp
+    from pvderx.learn import PPOConfig, make_ppo
+
+    # 4x2 global mesh: model-axis pairs are (proc0_dev_i, proc1_dev_i), so
+    # every TP collective crosses the process boundary
+    devs = np.stack([jax.devices()[:4], jax.devices()[4:]], axis=1)
+    mesh2 = Mesh(devs, ("env", MODEL_AXIS))
+    cfg_tp = make_env_config("10", n_sub=40, horizon=8)
+    ppo = PPOConfig(rollout_len=2, n_epochs=1, n_minibatch=2)
+    init_runner, train_step, _ = make_ppo(cfg_tp, ppo)
+    # identical seed on both processes -> identical host-local runner, then
+    # globally placed on the 2-D mesh
+    runner = init_runner(jax.random.PRNGKey(7), 8)
+    runner = shard_runner_tp(runner, mesh2, train_step.optimizer)
+    k0 = runner.params["params"]["Dense_0"]["kernel"]
+    assert k0.sharding.spec == P(None, MODEL_AXIS), k0.sharding
+    out, metrics = jax.jit(train_step)(runner)
+    loss = float(np.ravel(multihost_utils.process_allgather(
+        metrics["loss"], tiled=True))[0])
+    tp_ok = bool(np.isfinite(loss))
+
 sync_hosts("done")
 print(f"RESULT proc={proc_id} err={err:.3e} "
-      f"ok={err == 0.0}", flush=True)
+      f"ok={err == 0.0 and tp_ok}", flush=True)

@@ -124,13 +124,16 @@ def test_process_env_slice_single_process():
 def test_two_process_distributed_rollout(tmp_path):
     """Simulated multi-host (SURVEY §4 item 4): 2 localhost processes x 4
     virtual devices, global 8-device mesh, env batch sharded across processes;
-    rewards must equal a purely-local computation bitwise."""
+    rewards must equal a purely-local computation bitwise. The "tp" leg then
+    runs a PPO train step on a 2-D (env, model) mesh whose model axis spans
+    both processes (cross-process collectives for the Megatron-sharded
+    layers)."""
     import subprocess, sys, os
     script = os.path.join(os.path.dirname(__file__), "multihost_launch.py")
     port = "46123"
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [subprocess.Popen([sys.executable, script, str(i), port],
+    procs = [subprocess.Popen([sys.executable, script, str(i), port, "tp"],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env)
              for i in range(2)]
