@@ -116,7 +116,10 @@ class EventBuilder:
             raise ValueError(f"{len(rows)} events exceed table size {k}")
         out = np.full((k, cols), np.inf, dtype=dtype)
         out[: len(rows)] = np.asarray(rows, dtype=dtype)
-        return jnp.asarray(out)
+        # host array: tables built at config time become jit constants/args;
+        # a jnp.asarray here is one device round-trip per table (see
+        # DERParams.astype for the remote-TPU lowering cost this avoids)
+        return out
 
     def build(self, k_solar=None, k_grid=None, k_load=None,
               dtype=np.float32) -> EventSchedule:

@@ -34,11 +34,16 @@ class RideThroughParams:
 
 
 def default_rt_params(enabled: bool = True) -> RideThroughParams:
+    # numpy (host) leaves — this runs at config time on the host; a jnp
+    # creation here is a device round-trip per array through the TPU tunnel
+    # (measured 145 s for one make_env_config on a degraded link; see
+    # DERParams.astype)
+    import numpy as np
     e = 1.0 if enabled else 0.0
     return RideThroughParams(
         v_lv1=0.88, v_lv2=0.50, v_hv1=1.10, v_hv2=1.20, f_lf=0.98, f_hf=1.02,
-        t_lim=jnp.asarray([3.0, 1.0, 1.0, 0.16, 3.0, 3.0], jnp.float32),
-        enable=jnp.full((N_ZONES,), e, jnp.float32),
+        t_lim=np.asarray([3.0, 1.0, 1.0, 0.16, 3.0, 3.0], np.float32),
+        enable=np.full((N_ZONES,), e, np.float32),
     )
 
 

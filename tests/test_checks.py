@@ -177,3 +177,10 @@ def test_config_leaves_are_host_arrays():
     assert not bad, f"device-array config leaves: {bad}"
     der64 = make_params("10").astype(jnp.float64)
     assert all(not isinstance(x, jax.Array) for x in jax.tree.leaves(der64))
+    # host-side event tables too (EventBuilder runs at config time)
+    from pvderx.scenario.events import EventBuilder
+
+    ev = EventBuilder()
+    ev.add_grid_event(1.0, v=0.5)
+    sched = ev.build()
+    assert all(not isinstance(x, jax.Array) for x in jax.tree.leaves(sched))
