@@ -67,6 +67,10 @@ _SLOW = {
     "test_rollout_bitwise_reproducible",
     "test_fleet_reset_residual",
     "test_miss_penalized_vs_baseline_env",
+    "test_check_env_fleet",
+    "test_checkpoint_restore_onto_tp_mesh",
+    # param-specific: the ["10"] twin stays fast
+    "test_kernel_matches_scan[50]",
     # param-specific (the [10-72] twin stays in the fast oracle gate)
     "test_episode_obs_and_returns_match_oracle[50-88]",
 }
