@@ -13,14 +13,27 @@ once on this host, so the headline ratio is comparable across rounds — a live
 throughput moved 8%. `--measure-oracle` re-measures and reports the live
 figure alongside, without changing the denominator.
 
-The JSON also carries the two honesty gates the headline depends on:
+Synchronization (round-4 hardening): every timed region ends with a HOST
+FETCH of a scalar computed from the output (`diag.profiler.force_sync`) —
+NEVER `jax.block_until_ready`, which provably no-ops on this platform's
+remote-dispatch (axon) TPU tunnel: round 3's block_until_ready-timed headline
+was ~2000x inflated because dispatch returned in <1 ms while the chunk took
+~1 s to execute. A fetch of data derived from the result is the only barrier
+that cannot return early. The JSON records `"sync": "scalar-fetch"`.
+
+The JSON also carries the honesty gates the headline depends on, under
+"gates" (overall "gate" is PASS only if all pass; any FAIL exits nonzero):
+  - "sync_linearity": self-check that the measurement scales with work — two
+    chained chunks must take ~2x one chunk (1.5x-2.7x accepted). A
+    dispatch-only "measurement" times ~1x and FAILS, refusing the headline.
+  - "f32_accuracy": "max_abs_err_f32" (trajectory error of the production
+    f32 Pallas window-kernel path vs the f64 scipy-LSODA truth over an
+    eventful fixed scenario — cloud step + deep sag + frequency excursion,
+    the on-TPU accuracy figure SPEC.md §6 cites) must be within the pinned
+    per-preset bound F32_ERR_BOUND. Skipped with --no-accuracy.
   - "reset_compile_s" / "rollout_compile_s": XLA compile+first-run times, so
     compile-time regressions are caught (a persistent compilation cache under
-    .jax_cache/ makes warm reruns near-instant).
-  - "max_abs_err_f32": measured trajectory error of the production f32 Pallas
-    window-kernel path vs the f64 scipy-LSODA truth over an eventful fixed
-    scenario (cloud step + deep sag + frequency excursion) — the on-TPU
-    accuracy figure SPEC.md §6 cites. Skipped with --no-accuracy.
+    .jax_cache/ makes warm reruns near-instant; --no-cache measures cold).
 """
 from __future__ import annotations
 
@@ -37,6 +50,13 @@ import time
 # "Oracle baseline of record"; the 2-core VM shows ±20% load-dependent
 # scatter, which is exactly why the denominator is pinned).
 ORACLE_BASELINE = {"10": 43.5, "50": 26.5, "250": 31.1}
+
+# Accuracy gate: pinned per-preset bound on max_abs_err_f32 (the production
+# f32 Pallas path vs the f64 LSODA truth, measure_f32_accuracy's fixed
+# eventful scenario). SPEC.md §6 documents the per-state f32 error budget
+# behind these numbers; bench exits nonzero if the measurement exceeds them,
+# so a silent f32 regression cannot ship.
+F32_ERR_BOUND = {"10": 1.0e-6, "50": 1.5e-6, "250": 1.5e-6}
 
 
 def log(*a):
@@ -182,11 +202,36 @@ BASELINE_CONFIGS = {
 }
 
 
+def check_linearity(double_thunk, best_single: float):
+    """The sync self-check (round-4 hardening): run TWO chained chunks under
+    one scalar-fetch sync and require the time to be ~2x one chunk.
+
+    A real measurement scales with work (ratio ~2.0); a dispatch-rate
+    artifact (the round-3 failure mode: block_until_ready returning before
+    execution) times ~1 dispatch regardless of work (ratio ~1.0 and
+    milliseconds). Accepts 1.5x-2.7x to leave room for host-load noise.
+    Returns (status, ratio).
+    """
+    t0 = time.perf_counter()
+    out = double_thunk()
+    float(out)  # host fetch of a scalar derived from BOTH chunks
+    t_double = time.perf_counter() - t0
+    ratio = t_double / best_single
+    status = "PASS" if 1.5 <= ratio <= 2.7 else "FAIL"
+    log(f"sync linearity: 2-chunk/1-chunk = {t_double:.3f}s/{best_single:.3f}s"
+        f" = {ratio:.2f}x -> {status}")
+    return status, ratio
+
+
 def bench_fleet(args, m: int):
-    """Config 5: M inverters per env on a shared feeder (fused fleet kernel)."""
+    """Config 5: M inverters per env on a shared feeder (fused fleet kernel).
+
+    Returns (rate, sync_gate, sync_ratio). All timed regions sync by scalar
+    fetch (see module docstring)."""
     import jax
     import jax.numpy as jnp
 
+    from pvderx.diag.profiler import force_sync
     from pvderx.env import fleet
 
     n = args.n_envs
@@ -194,7 +239,7 @@ def bench_fleet(args, m: int):
     reset_b = jax.jit(jax.vmap(lambda k: fleet.reset(fc, k)))
     t0 = time.perf_counter()
     st, obs = reset_b(jax.random.split(jax.random.PRNGKey(0), n))
-    jax.block_until_ready(obs)
+    force_sync(obs)
     bench_fleet.reset_compile_s = time.perf_counter() - t0
     log(f"fleet reset (compile+run): {bench_fleet.reset_compile_s:.1f}s")
     block = min(1024, n)
@@ -208,21 +253,33 @@ def bench_fleet(args, m: int):
             return s, r
         keys = jax.random.split(key, args.chunk)
         st, rews = jax.lax.scan(body, st, keys)
-        return st, rews
+        # scalar reduction INSIDE the jitted chunk: the timing loop fetches
+        # this to the host, which is the only barrier that cannot return
+        # before the chunk has actually executed (module docstring)
+        return st, jnp.sum(rews)
 
     ro = jax.jit(chunk, donate_argnums=(0,))
-    st, rews = ro(st, jax.random.PRNGKey(1))
-    jax.block_until_ready(rews)
+    st, rs = ro(st, jax.random.PRNGKey(1))
+    float(rs)
     times = []
     for r in range(args.reps):
         t0 = time.perf_counter()
-        st, rews = ro(st, jax.random.PRNGKey(2 + r))
-        jax.block_until_ready(rews)
+        st, rs = ro(st, jax.random.PRNGKey(2 + r))
+        float(rs)  # scalar-fetch sync
         times.append(time.perf_counter() - t0)
-    rate = n * args.chunk / min(times)
+    best = min(times)
+    rate = n * args.chunk / best
+
+    def ro2():
+        nonlocal st
+        st, r1 = ro(st, jax.random.PRNGKey(97))
+        st, r2 = ro(st, jax.random.PRNGKey(98))
+        return r1 + r2
+
+    sync_gate, sync_ratio = check_linearity(ro2, best)
     log(f"fleet m={m}: {rate:,.0f} env-steps/s "
         f"({rate * m:,.0f} DER-steps/s)")
-    return rate
+    return rate, sync_gate, sync_ratio
 
 
 def main():
@@ -290,30 +347,56 @@ def main():
     oracle_rate = ORACLE_BASELINE[args.preset]
     oracle_live = measure_oracle(args.preset) if args.measure_oracle else None
 
-    if fleet_m is not None:
-        backend = jax.default_backend()
-        rate = bench_fleet(args, fleet_m)
-        max_err_f32 = (None if args.no_accuracy
-                       else measure_f32_accuracy(args.preset))
+    from pvderx.diag.profiler import force_sync
+
+    def finish(rate, sync_gate, sync_ratio, compile_fields):
+        """Assemble gates + JSON line; nonzero exit if any gate fails."""
+        max_err_f32 = None
+        acc_gate = "SKIPPED"
+        bound = F32_ERR_BOUND[args.preset]
+        if not args.no_accuracy:
+            max_err_f32 = measure_f32_accuracy(args.preset,
+                                               n_sub=max(args.n_sub, 72))
+            acc_gate = "PASS" if max_err_f32 <= bound else "FAIL"
+            log(f"f32 accuracy gate: {max_err_f32:.3e} <= {bound:.1e} "
+                f"-> {acc_gate}")
+        gates = {"sync_linearity": sync_gate, "f32_accuracy": acc_gate}
+        overall = "FAIL" if "FAIL" in gates.values() else "PASS"
         print(json.dumps({
-            "metric": "env_steps_per_s", "value": round(rate, 1),
+            "metric": "env_steps_per_s",
+            "value": round(rate, 1),
             "unit": "env-steps/s",
             "vs_baseline": round(rate / oracle_rate, 1),
+            "sync": "scalar-fetch",
+            "gate": overall,
+            "gates": gates,
+            "sync_linearity_ratio": round(sync_ratio, 2),
             "max_abs_err_f32": max_err_f32,
-            "reset_compile_s": round(bench_fleet.reset_compile_s, 1),
-            "config": {"baseline_config": args.config, "fleet_m": fleet_m,
-                       "preset": args.preset, "n_envs": args.n_envs,
-                       "n_sub": args.n_sub, "backend": backend,
-                       "oracle_env_steps_per_s": oracle_rate,
-                       "oracle_source": "pinned(BASELINE.md)",
-                       "oracle_live": oracle_live},
+            "f32_err_bound": bound,
+            **compile_fields,
+            "config": {
+                "baseline_config": args.config, "fleet_m": fleet_m,
+                "preset": args.preset, "n_envs": args.n_envs,
+                "n_sub": args.n_sub, "chunk": args.chunk,
+                "backend": jax.default_backend(),
+                "oracle_env_steps_per_s": oracle_rate,
+                "oracle_source": "pinned(BASELINE.md)",
+                "oracle_live": oracle_live,
+            },
         }))
+        if overall == "FAIL":
+            sys.exit(1)
+
+    if fleet_m is not None:
+        rate, sync_gate, sync_ratio = bench_fleet(args, fleet_m)
+        finish(rate, sync_gate, sync_ratio,
+               {"reset_compile_s": round(bench_fleet.reset_compile_s, 1)})
         return
 
     backend = jax.default_backend()
     dev = jax.devices()[0]
     log(f"backend={backend} device={dev} n_envs={args.n_envs} "
-        f"preset={args.preset} n_sub={args.n_sub}")
+        f"preset={args.preset} n_sub={args.n_sub} chunk={args.chunk}")
 
     cfg = make_env_config(args.preset, dtype=jnp.float32, n_sub=args.n_sub,
                           **extra_cfg)
@@ -321,54 +404,48 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(0), args.n_envs)
     t0 = time.perf_counter()
     state, obs = reset_batch(keys)
-    jax.block_until_ready(obs)
+    force_sync(obs)
     reset_compile_s = time.perf_counter() - t0
     log(f"reset (compile+run): {reset_compile_s:.1f}s")
 
     policy = lambda ob, k: jnp.zeros((ob.shape[0],), jnp.int32)
-    ro = jax.jit(
-        lambda s, o, k: rollout(cfg, s, o, policy, args.chunk, k),
-        donate_argnums=(0, 1),
-    )
+
+    def chunk_fn(s, o, k):
+        s, o, rews, dones = rollout(cfg, s, o, policy, args.chunk, k)
+        # scalar reductions INSIDE the chunk; the timing loop fetches rew_sum
+        # to the host — the only sync that cannot return before execution
+        return s, o, jnp.sum(rews), jnp.sum(dones)
+
+    ro = jax.jit(chunk_fn, donate_argnums=(0, 1))
 
     t0 = time.perf_counter()
-    state, obs, rews, dones = ro(state, obs, jax.random.PRNGKey(1))
-    jax.block_until_ready(rews)
+    state, obs, rs, ds = ro(state, obs, jax.random.PRNGKey(1))
+    float(rs)
     rollout_compile_s = time.perf_counter() - t0
     log(f"rollout chunk (compile+run): {rollout_compile_s:.1f}s")
 
     times = []
     for r in range(args.reps):
         t0 = time.perf_counter()
-        state, obs, rews, dones = ro(state, obs, jax.random.PRNGKey(2 + r))
-        jax.block_until_ready(rews)
+        state, obs, rs, ds = ro(state, obs, jax.random.PRNGKey(2 + r))
+        float(rs)  # scalar-fetch sync
         times.append(time.perf_counter() - t0)
     best = min(times)
     rate = args.n_envs * args.chunk / best
     log(f"times={['%.3f' % t for t in times]} best={best:.3f}s "
         f"-> {rate:,.0f} env-steps/s")
 
-    max_err_f32 = None
-    if not args.no_accuracy:
-        max_err_f32 = measure_f32_accuracy(args.preset, n_sub=args.n_sub)
+    def ro2():
+        nonlocal state, obs
+        state, obs, r1, _ = ro(state, obs, jax.random.PRNGKey(97))
+        state, obs, r2, _ = ro(state, obs, jax.random.PRNGKey(98))
+        return r1 + r2
 
-    print(json.dumps({
-        "metric": "env_steps_per_s",
-        "value": round(rate, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(rate / oracle_rate, 1),
-        "max_abs_err_f32": max_err_f32,
-        "reset_compile_s": round(reset_compile_s, 1),
-        "rollout_compile_s": round(rollout_compile_s, 1),
-        "config": {
-            "baseline_config": args.config,
-            "preset": args.preset, "n_envs": args.n_envs,
-            "n_sub": args.n_sub, "backend": backend,
-            "oracle_env_steps_per_s": oracle_rate,
-            "oracle_source": "pinned(BASELINE.md)",
-            "oracle_live": oracle_live,
-        },
-    }))
+    sync_gate, sync_ratio = check_linearity(ro2, best)
+
+    finish(rate, sync_gate, sync_ratio,
+           {"reset_compile_s": round(reset_compile_s, 1),
+            "rollout_compile_s": round(rollout_compile_s, 1)})
 
 
 if __name__ == "__main__":

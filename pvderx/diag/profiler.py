@@ -8,10 +8,17 @@ statements and matplotlib). pvderx wires the idiomatic JAX tools:
 - `compile_report(fn, *args)`: lower + compile a jitted function and return
   XLA's cost analysis (FLOPs, bytes accessed) plus measured wall time — the
   basis for the speed-of-light comparisons in bench notes.
-- `Stopwatch`: chained-dependency throughput timer. On this environment's
-  remote-tunneled TPU, timing repeated identical dispatches reports cached
-  fantasy numbers; real measurements MUST chain each call's input to the
-  previous call's output (see bench.py), which Stopwatch enforces by design.
+- `force_sync(tree)`: the ONLY trustworthy barrier on this platform — a host
+  fetch of a scalar computed from the output. `jax.block_until_ready` is NOT
+  a reliable barrier under fully-asynchronous remote dispatch (measured on
+  the axon TPU tunnel, 2026-08-21: a chained chunk whose real execution takes
+  73 s "completes" in 0.24 ms under block_until_ready, while
+  `float(jnp.sum(out))` takes the real 73 s). Every timed path in pvderx
+  (bench.py, Stopwatch) synchronizes through force_sync.
+- `Stopwatch`: chained-dependency throughput timer. Chaining each call's
+  input to the previous call's output stops the device from eliding work;
+  force_sync at the ends of the timed region stops the *host* from
+  mis-timing asynchronous dispatch as completion.
 """
 from __future__ import annotations
 
@@ -19,6 +26,23 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
+
+
+def force_sync(tree) -> float:
+    """Block until `tree`'s computation has ACTUALLY executed; return a value
+    derived from it.
+
+    Dispatches a scalar reduction of the first leaf and fetches it to the
+    host. A host fetch cannot complete before everything upstream of the leaf
+    has run, so this is a true barrier even on platforms where
+    `jax.block_until_ready` returns immediately on not-yet-executed arrays
+    (the axon remote-TPU tunnel does exactly that — see module docstring).
+    The returned float also defeats any dead-code elimination of the timed
+    computation.
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.sum(leaf))
 
 
 @contextlib.contextmanager
@@ -101,7 +125,7 @@ class Stopwatch:
         s = state0
         for _ in range(n_warmup):
             s = self._once(s)
-        jax.block_until_ready(s)
+        force_sync(s)
         self.state = s
 
     def _once(self, s):
@@ -110,10 +134,11 @@ class Stopwatch:
 
     def elapsed(self, reps: int = 10) -> float:
         s = self.state
+        force_sync(s)          # drain anything already in flight
         t0 = time.perf_counter()
         for _ in range(reps):
             s = self._once(s)
-        jax.block_until_ready(s)
+        force_sync(s)          # real barrier: host fetch of a derived scalar
         el = time.perf_counter() - t0
         self.state = s
         return el / reps
