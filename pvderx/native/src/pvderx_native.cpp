@@ -173,12 +173,15 @@ static void rhs(int n_ph, const double* y, double t, const double* p,
   dy[6 * n + 4] = wb * (p[KP_PLL] * v_q + xpll);
 }
 
-// classical RK4 over one window; arithmetic order mirrors ode/rk4.py.
+// classical RK4 over one window; arithmetic order mirrors ode/rk4.py,
+// including the Kahan-compensated state accumulation (comp[] carries the
+// rounding residue — builds without -ffast-math so the cancellation holds).
 static void rk4_window(int n_ph, double* y, double t0, double dt, int n_sub,
                        const double* p, const double* u) {
   const int ns = 6 * n_ph + 5;
   const double h = dt / n_sub;
   double k1[MAX_NS], k2[MAX_NS], k3[MAX_NS], k4[MAX_NS], tmp[MAX_NS];
+  double comp[MAX_NS] = {0.0};
   for (int s = 0; s < n_sub; ++s) {
     const double t = t0 + s * h;
     rhs(n_ph, y, t, p, u, k1);
@@ -188,8 +191,13 @@ static void rk4_window(int n_ph, double* y, double t0, double dt, int n_sub,
     rhs(n_ph, tmp, t + 0.5 * h, p, u, k3);
     for (int j = 0; j < ns; ++j) tmp[j] = y[j] + h * k3[j];
     rhs(n_ph, tmp, t + h, p, u, k4);
-    for (int j = 0; j < ns; ++j)
-      y[j] += (h / 6.0) * (k1[j] + 2.0 * k2[j] + 2.0 * k3[j] + k4[j]);
+    for (int j = 0; j < ns; ++j) {
+      const double d =
+          ((h / 6.0) * (k1[j] + 2.0 * k2[j] + 2.0 * k3[j] + k4[j])) - comp[j];
+      const double sum = y[j] + d;
+      comp[j] = (sum - y[j]) - d;
+      y[j] = sum;
+    }
   }
 }
 

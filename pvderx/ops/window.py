@@ -67,8 +67,11 @@ def _window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, n_sub, h):
     # the grid rotation phasor is a function of the stage *time* only: the RK4
     # half-point is shared by k2/k3 and the endpoint is the next substep's
     # start, so 2 cexpj per substep replace 4 (sin/cos were ~10% of the kernel)
+    # Kahan-compensated state accumulation (c carries the rounding residue) —
+    # same arithmetic order as ode.rk4.kahan_add; without it the f32 state
+    # random-walks ~sqrt(n_substeps)·ulp and breaches the 1e-6 contract
     def body(k, carry):
-        y, r1 = carry
+        y, c, r1 = carry
         t = t0 + k * h
         rh = rhs_core.grid_rot(t + 0.5 * h, p, u, jnp)
         r4 = rhs_core.grid_rot(t + h, p, u, jnp)
@@ -76,10 +79,13 @@ def _window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, n_sub, h):
         k2 = rhs_core.rhs(y + (0.5 * h) * k1, t + 0.5 * h, p, u, jnp, prep, rh)
         k3 = rhs_core.rhs(y + (0.5 * h) * k2, t + 0.5 * h, p, u, jnp, prep, rh)
         k4 = rhs_core.rhs(y + h * k3, t + h, p, u, jnp, prep, r4)
-        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4), r4
+        d = ((h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)) - c
+        s = y + d
+        return s, (s - y) - d, r4
 
-    y1, _ = lax.fori_loop(
-        0, n_sub, body, (y, rhs_core.grid_rot(t0, p, u, jnp)))
+    y1, _, _ = lax.fori_loop(
+        0, n_sub, body,
+        (y, jnp.zeros_like(y), rhs_core.grid_rot(t0, p, u, jnp)))
     out_ref[:] = y1
 
 
@@ -120,8 +126,9 @@ def _fleet_window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, m,
         v = rhs_core.pcc_voltage(i_inj, t, p_sh, u_sh, jnp, prep_sh, rot)
         return rhs_core.rhs_given_v(y, t, p, u, v, jnp, prep)
 
+    # Kahan-compensated accumulation, same order as ode.rk4.kahan_add
     def body(k, carry):
-        y, r1 = carry
+        y, c, r1 = carry
         t = t0 + k * h
         rh = rhs_core.grid_rot(t + 0.5 * h, p_sh, u_sh, jnp)
         r4 = rhs_core.grid_rot(t + h, p_sh, u_sh, jnp)
@@ -129,10 +136,13 @@ def _fleet_window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, m,
         k2 = rhs_fleet(y + (0.5 * h) * k1, t + 0.5 * h, rh)
         k3 = rhs_fleet(y + (0.5 * h) * k2, t + 0.5 * h, rh)
         k4 = rhs_fleet(y + h * k3, t + h, r4)
-        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4), r4
+        d = ((h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)) - c
+        s = y + d
+        return s, (s - y) - d, r4
 
-    y1, _ = lax.fori_loop(
-        0, n_sub, body, (y, rhs_core.grid_rot(t0, p_sh, u_sh, jnp)))
+    y1, _, _ = lax.fori_loop(
+        0, n_sub, body,
+        (y, jnp.zeros_like(y), rhs_core.grid_rot(t0, p_sh, u_sh, jnp)))
     out_ref[:] = y1
 
 

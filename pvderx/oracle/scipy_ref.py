@@ -49,17 +49,22 @@ def integrate_window(y, t0, dt, p: DERParams, u: Exog, rtol=RTOL, atol=ATOL):
 
 
 def rk4_window_np(y, t0, dt, n_sub: int, p: DERParams, u: Exog):
-    """Numpy mirror of `pvderx.ode.rk4.rk4_window` (identical arithmetic order),
-    used to separate integrator error from implementation differences."""
+    """Numpy mirror of `pvderx.ode.rk4.rk4_window` (identical arithmetic
+    order, including the Kahan-compensated state accumulation), used to
+    separate integrator error from implementation differences."""
     h = dt / n_sub
     y = np.asarray(y, dtype=np.float64)
+    c = np.zeros_like(y)
     for k in range(n_sub):
         t = t0 + k * h
         k1 = rhs_np(y, t, p, u)
         k2 = rhs_np(y + 0.5 * h * k1, t + 0.5 * h, p, u)
         k3 = rhs_np(y + 0.5 * h * k2, t + 0.5 * h, p, u)
         k4 = rhs_np(y + h * k3, t + h, p, u)
-        y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        d = ((h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)) - c
+        s = y + d
+        c = (s - y) - d
+        y = s
     return y
 
 
