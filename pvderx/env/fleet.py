@@ -245,20 +245,26 @@ def _where_done(done, a, b):
 
 
 def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
-                     block: int, autoreset: bool):
-    from pvderx.env.vector import _use_pallas
+                     block: int, autoreset: bool, mesh=None):
+    from functools import partial as _p
+
+    from pvderx.env.vector import _local_envs, _shard_mapped_window, _use_pallas
     n = state.y.shape[0]
-    if _use_pallas(window, n, block):
+    n_loc = _local_envs(n, mesh)
+    if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_fleet_window_batch)
         cfg, m = fc.base, fc.m
         t, fu, mppt = jax.vmap(
             lambda s, a: _pre_window(fc, s, a))(state, actions)
-        y1 = rk4_fleet_window_batch(
-            state.y, t, pack_struct(state.der, P_FIELDS),
-            pack_struct(fu, U_FIELDS),
-            n_ph=cfg.der.n_ph, m=m, n_sub=cfg.n_sub, dt=cfg.dt_ctrl,
-            block=block, interpret=jax.default_backend() == "cpu")
+        kern = _p(rk4_fleet_window_batch,
+                  n_ph=cfg.der.n_ph, m=m, n_sub=cfg.n_sub, dt=cfg.dt_ctrl,
+                  block=min(block, n_loc),
+                  interpret=jax.default_backend() == "cpu")
+        if mesh is not None:
+            kern = _shard_mapped_window(kern, mesh, n_args_rank2=2)
+        y1 = kern(state.y, t, pack_struct(state.der, P_FIELDS),
+                  pack_struct(fu, U_FIELDS))
         out = jax.vmap(
             lambda s, e, mp, tt, yy: _post_window(fc, s, e, mp, tt, yy),
         )(state, fu, mppt, t, y1)
@@ -277,13 +283,14 @@ def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
 
 def make_fleet_batch_fns(fc: FleetConfig, autoreset: bool = True,
                          donate: bool = True, window: str = "auto",
-                         block: int = 1024):
+                         block: int = 1024, mesh=None):
     """Batched fleet env: (reset_batch(keys), step_batch(state, actions)).
 
     window: "auto" | "pallas" | "scan" — pallas uses the fused rank-4 fleet
     window kernel (ops/window.rk4_fleet_window_batch); scan is the vmapped
     per-env `lax.scan` RK4 over the stacked [M*n_states] system. Both share
-    the identical physics core."""
+    the identical physics core. mesh: optional Mesh with an 'env' axis for
+    the shard_map'd multi-chip kernel path (pvderx/env/vector.py)."""
     from functools import partial as _partial
 
     @jax.jit
@@ -293,7 +300,7 @@ def make_fleet_batch_fns(fc: FleetConfig, autoreset: bool = True,
     @_partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_batch(state, actions):
         return _step_batch_impl(fc, state, actions, window=window,
-                                block=block, autoreset=autoreset)
+                                block=block, autoreset=autoreset, mesh=mesh)
 
     return reset_batch, step_batch
 

@@ -20,6 +20,15 @@ interchangeable implementations:
 ``window="auto"`` picks pallas on TPU backends when the batch tiles legally.
 Both paths share the identical `rhs_core` physics and agree to f32 roundoff
 (tested in tests/test_env.py).
+
+Multi-chip (``mesh=``): pass a `jax.sharding.Mesh` with an 'env' axis and the
+kernel invocation is wrapped in `jax.shard_map` over that axis — each chip
+runs the Mosaic kernel on its LOCAL shard of the batch by construction,
+instead of relying on GSPMD auto-partitioning a `pallas_call` (which works on
+one chip but is not a contract on eight). The per-shard batch must still tile
+legally (N/num_env_shards % 128 == 0). Everything outside the kernel stays
+GSPMD-partitioned as before. Exercised on the 8-virtual-device CPU mesh in
+tests/test_dist.py and by `__graft_entry__.dryrun_multichip`.
 """
 from __future__ import annotations
 
@@ -27,6 +36,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec
 
 from pvderx.env import core
 
@@ -53,21 +63,53 @@ def _use_pallas(window: str, n: int, block: int) -> bool:
     return tilable and jax.default_backend() not in ("cpu",)
 
 
+def _local_envs(n: int, mesh) -> int:
+    """Per-shard env count under the mesh's 'env' axis (n if no mesh)."""
+    if mesh is None:
+        return n
+    from pvderx.dist.mesh import ENV_AXIS
+    n_sh = mesh.shape[ENV_AXIS]
+    if n % n_sh:
+        raise ValueError(f"N={n} not divisible by {n_sh} env shards")
+    return n // n_sh
+
+
+def _shard_mapped_window(kern, mesh, n_args_rank2):
+    """Wrap a window-kernel call in shard_map over the mesh 'env' axis.
+
+    kern(y, t, p_pack, u_pack) -> y1, with the env axis leading on y/t and
+    second on the packed params/exog. Each shard runs the Mosaic kernel on
+    its local rows — the structural multi-chip guarantee (module docstring).
+    """
+    from pvderx.dist.mesh import ENV_AXIS
+    P = PartitionSpec
+    env_first = P(ENV_AXIS)                    # y [N, ...], t [N]
+    env_second = P(None, ENV_AXIS)             # packed [n_fields, N, ...]
+    in_specs = (env_first, env_first) + (env_second,) * n_args_rank2
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation; the data dependence y1(y, t, p, u) is trivially env-varying
+    return jax.shard_map(kern, mesh=mesh, in_specs=in_specs,
+                         out_specs=env_first, check_vma=False)
+
+
 def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
-                     block: int, autoreset: bool, p_pack=None):
+                     block: int, autoreset: bool, p_pack=None, mesh=None):
     n = state.y.shape[0]
-    if _use_pallas(window, n, block):
+    n_loc = _local_envs(n, mesh)
+    if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch)
         t, exog, mppt, flag = jax.vmap(
             lambda s, a: core._pre_window(cfg, s, a))(state, actions)
         if p_pack is None:
             p_pack = pack_struct(state.der, P_FIELDS)
-        y1 = rk4_window_batch(
-            state.y, t, p_pack,
-            pack_struct(exog, U_FIELDS),
-            n_ph=cfg.der.n_ph, n_sub=cfg.n_sub, dt=cfg.dt_ctrl, block=block,
+        kern = partial(
+            rk4_window_batch, n_ph=cfg.der.n_ph, n_sub=cfg.n_sub,
+            dt=cfg.dt_ctrl, block=min(block, n_loc),
             interpret=jax.default_backend() == "cpu")
+        if mesh is not None:
+            kern = _shard_mapped_window(kern, mesh, n_args_rank2=2)
+        y1 = kern(state.y, t, p_pack, pack_struct(exog, U_FIELDS))
         out = jax.vmap(
             lambda s, e, m, tt, yy, fl: core._post_window(
                 cfg, s, e, m, tt, yy, fl),
@@ -86,12 +128,13 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
 
 def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True,
                    donate: bool = True, window: str = "auto",
-                   block: int = 4096):
+                   block: int = 4096, mesh=None):
     """Returns (reset_batch(keys) -> (state, obs),
                 step_batch(state, actions) -> (state, obs, reward, done, info)).
 
     keys: [N, 2] PRNG keys; actions: [N] int32. All outputs batched on axis 0.
-    window: "auto" | "pallas" | "scan" (see module docstring).
+    window: "auto" | "pallas" | "scan"; mesh: optional Mesh with an 'env'
+    axis for the shard_map'd multi-chip kernel path (see module docstring).
     """
 
     @jax.jit
@@ -101,26 +144,27 @@ def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True,
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_batch(state, actions):
         return _step_batch_impl(cfg, state, actions, window=window,
-                                block=block, autoreset=autoreset)
+                                block=block, autoreset=autoreset, mesh=mesh)
 
     return reset_batch, step_batch
 
 
 def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
-            window: str = "auto", block: int = 4096):
+            window: str = "auto", block: int = 4096, mesh=None):
     """Scan a policy over n_steps of a batched env with auto-reset.
 
     policy_fn(obs, key) -> actions [N]. Returns (state, obs, rewards [T,N],
     dones [T,N]). The time axis is a lax.scan (SURVEY.md §5: the TPU analog of
     sequence parallelism is the rollout time axis; use jax.checkpoint upstream
-    for very long horizons).
+    for very long horizons). mesh: as in `make_batch_fns`.
     """
 
     # per-env params never change across steps (soft reset keeps der), so the
     # [n_p, N] kernel packing is loop-invariant: pack once outside the scan
     # instead of re-stacking 27 [N] fields in every step's body
     p_pack = None
-    if _use_pallas(window, state.y.shape[0], block):
+    n_loc = _local_envs(state.y.shape[0], mesh)
+    if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import P_FIELDS, pack_struct
         p_pack = pack_struct(state.der, P_FIELDS)
 
@@ -129,7 +173,7 @@ def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
         acts = policy_fn(ob, k)
         st, ob, rew, done, _ = _step_batch_impl(
             cfg, st, acts, window=window, block=block, autoreset=True,
-            p_pack=p_pack)
+            p_pack=p_pack, mesh=mesh)
         return (st, ob), (rew, done)
 
     keys = jax.random.split(key, n_steps)

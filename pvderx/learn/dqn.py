@@ -77,7 +77,7 @@ class DQNRunner:
 
 
 def make_dqn(env_cfg, dqn: DQNConfig,
-             hidden=(128, 128), dtype=jnp.float32):
+             hidden=(128, 128), dtype=jnp.float32, mesh=None):
     """Build (init_runner(key, n_envs), train_step(runner), net).
 
     env_cfg must be discrete (the reference's action space) — a single-DER
@@ -86,7 +86,7 @@ def make_dqn(env_cfg, dqn: DQNConfig,
     """
     from pvderx.learn.env_api import make_env_api
 
-    api = make_env_api(env_cfg)
+    api = make_env_api(env_cfg, mesh=mesh)
     if api.n_actions == 0:
         raise ValueError("DQN requires a discrete env (continuous=False)")
     n_actions = api.n_actions

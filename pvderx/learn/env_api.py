@@ -37,8 +37,12 @@ class EnvAPI(NamedTuple):
 
 
 def make_env_api(env_cfg, *, window: str = "auto", block: int | None = None,
-                 autoreset: bool = True) -> EnvAPI:
-    """Build the learner-facing API for an `EnvConfig` or `FleetConfig`."""
+                 autoreset: bool = True, mesh=None) -> EnvAPI:
+    """Build the learner-facing API for an `EnvConfig` or `FleetConfig`.
+
+    mesh: optional `jax.sharding.Mesh` with an 'env' axis — the window kernel
+    is then invoked through `jax.shard_map` over that axis so each chip runs
+    the Mosaic kernel on its local batch shard (pvderx/env/vector.py)."""
     from pvderx.env import fleet as fleet_mod
 
     # env_core.unalias only touches the y0/obs0/ppv0 cache fields, which
@@ -61,7 +65,7 @@ def make_env_api(env_cfg, *, window: str = "auto", block: int | None = None,
         def step(state, actions):
             return fleet_mod._step_batch_impl(
                 env_cfg, state, actions, window=window, block=blk,
-                autoreset=autoreset)
+                autoreset=autoreset, mesh=mesh)
 
         return EnvAPI(reset_batch=reset_batch, step=step, unalias=_unalias,
                       n_actions=env_core.N_ACTIONS, act_dim=0,
@@ -84,7 +88,7 @@ def make_env_api(env_cfg, *, window: str = "auto", block: int | None = None,
     def step(state, actions):
         return vector_mod._step_batch_impl(
             env_cfg, state, actions, window=window, block=blk,
-            autoreset=autoreset)
+            autoreset=autoreset, mesh=mesh)
 
     return EnvAPI(reset_batch=reset_batch, step=step, unalias=_unalias,
                   n_actions=n_actions, act_dim=act_dim,

@@ -57,7 +57,7 @@ class PPORunner:
 
 
 def make_ppo(env_cfg, ppo: PPOConfig,
-             hidden=(128, 128), dtype=jnp.float32):
+             hidden=(128, 128), dtype=jnp.float32, mesh=None):
     """Build (init_runner(key, n_envs), train_step(runner)) for one mesh/host.
 
     train_step is pure and jittable; under a Mesh with the env batch sharded
@@ -71,7 +71,7 @@ def make_ppo(env_cfg, ppo: PPOConfig,
     """
     from pvderx.learn.env_api import make_env_api
 
-    api = make_env_api(env_cfg)
+    api = make_env_api(env_cfg, mesh=mesh)
     if api.n_actions == 0:
         raise ValueError("PPO here is discrete-action; got a continuous env "
                          "config (use pvderx.learn.sac for Box actions)")

@@ -86,12 +86,12 @@ def _squash(mu, log_std, key):
 
 
 def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
-             hidden=(128, 128), dtype=jnp.float32):
+             hidden=(128, 128), dtype=jnp.float32, mesh=None):
     """Build (init_runner(key, n_envs), train_step(runner)). env_cfg must have
     continuous=True (single-DER env; the fleet action space is discrete)."""
     from pvderx.learn.env_api import make_env_api
 
-    api = make_env_api(env_cfg)
+    api = make_env_api(env_cfg, mesh=mesh)
     if api.act_dim == 0:
         raise ValueError("SAC requires make_env_config(..., continuous=True)")
     obs_dim, act_dim = api.obs_dim, api.act_dim

@@ -158,6 +158,55 @@ def test_sharded_pallas_window_matches_single_device(cfg):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o8), atol=1e-5)
 
 
+def test_shard_mapped_kernel_path_8way(cfg):
+    """The MULTI-CHIP contract for the production kernel: `mesh=` routes the
+    `pallas_call` through `jax.shard_map` over the 'env' axis, so each device
+    runs the kernel on its LOCAL 128-env shard by construction (window=
+    'pallas' would raise on the scan fallback — the kernel path is forced).
+    Must agree with the unsharded scan path and stay 8-way sharded."""
+    N = 1024  # 8 shards x 128 local envs — each shard tiles legally
+    mesh = make_mesh(8)
+    rb, sb_sm = make_batch_fns(cfg, donate=False, window="pallas",
+                               block=128, mesh=mesh)
+    _, sb_scan = make_batch_fns(cfg, donate=False, window="scan")
+    keys = jax.random.split(jax.random.PRNGKey(12), N)
+    st, obs = rb(keys)
+    acts = jnp.arange(N, dtype=jnp.int32) % 5
+
+    st_sh = shard_batch(st, mesh)
+    acts_sh = shard_batch(acts, mesh)
+    st1, o_sm, r_sm, d_sm, _ = sb_sm(st_sh, acts_sh)
+    assert len(o_sm.sharding.device_set) == 8
+    assert len(st1.y.sharding.device_set) == 8
+
+    _, o_ref, r_ref, d_ref, _ = sb_scan(st, acts)
+    np.testing.assert_allclose(np.asarray(o_sm), np.asarray(o_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_sm), np.asarray(r_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(d_sm), np.asarray(d_ref))
+
+
+def test_shard_mapped_fleet_kernel_8way():
+    """Same structural guarantee for the rank-4 fleet kernel: shard_map over
+    'env' with M units per env riding along unsharded."""
+    from pvderx.env.fleet import make_fleet_batch_fns, make_fleet_config
+
+    fc = make_fleet_config("10", m=2, n_sub=40, horizon=16)
+    N = 1024
+    mesh = make_mesh(8)
+    rb, sb_sm = make_fleet_batch_fns(fc, donate=False, window="pallas",
+                                     block=128, mesh=mesh)
+    _, sb_scan = make_fleet_batch_fns(fc, donate=False, window="scan")
+    keys = jax.random.split(jax.random.PRNGKey(13), N)
+    st, obs = rb(keys)
+    acts = jnp.arange(N, dtype=jnp.int32) % 5
+    _, o_sm, r_sm, d_sm, _ = sb_sm(shard_batch(st, mesh),
+                                   shard_batch(acts, mesh))
+    assert len(o_sm.sharding.device_set) == 8
+    _, o_ref, r_ref, d_ref, _ = sb_scan(st, acts)
+    np.testing.assert_allclose(np.asarray(o_sm), np.asarray(o_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(d_sm), np.asarray(d_ref))
+
+
 def test_fleet_ppo_sharded_over_mesh():
     """BASELINE config 5 end-to-end shape: the fleet env + PPO learner with
     the env batch sharded over the mesh 'env' axis and params replicated
