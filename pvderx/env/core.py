@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from pvderx._pytree import pytree_dataclass, replace
-from pvderx.ode import newton_solve, rk4_window
+from pvderx.ode import (
+    backward_euler_window, newton_solve, rk4_window, trapezoid_window)
 from pvderx.params import DERParams, make_params
 from pvderx.physics import rhs_core
 from pvderx.scenario.events import EventSchedule, make_exog
@@ -77,6 +78,7 @@ class ScenarioConfig:
 @pytree_dataclass(meta=(
     "n_sub", "horizon", "n_mppt", "mppt_enable", "voltvar_enable",
     "k_solar", "k_grid", "k_load", "continuous", "anomaly_detect",
+    "integrator",
 ))
 class EnvConfig:
     der: DERParams
@@ -114,6 +116,13 @@ class EnvConfig:
     k_load: int
     continuous: bool
     anomaly_detect: bool
+    # window-integration scheme: "rk4" (explicit, the production/Pallas path)
+    # | "trapezoid" (A-stable, 2nd order) | "backward_euler" (L-stable, 1st
+    # order). The selectable-scheme abstraction replacing the reference's
+    # odeint/vode-bdf pair (SURVEY.md §2.2 rows 1-2); implicit schemes run
+    # the scan path (no Pallas kernel) and allow n_sub below RK4's stability
+    # bound of 40.
+    integrator: str
 
 
 @pytree_dataclass
@@ -155,12 +164,20 @@ def make_env_config(
     der: DERParams | None = None,
     continuous: bool = False,
     anomaly_detect: bool = False,
+    integrator: str = "rk4",
     **overrides: Any,
 ) -> EnvConfig:
-    if n_sub < 40:
+    if integrator not in INTEGRATORS:
+        raise ValueError(
+            f"integrator={integrator!r}; choose from {sorted(INTEGRATORS)}")
+    if integrator == "rk4" and n_sub < 40:
         raise ValueError(
             f"n_sub={n_sub} gives h*|lambda|max > 2.785 (RK4 stability bound) "
-            "for the shipped presets; use n_sub >= 40 (SPEC.md §6)")
+            "for the shipped presets; use n_sub >= 40, or an A-stable "
+            "implicit integrator ('trapezoid'/'backward_euler') for "
+            "stiffness margin at low n_sub (SPEC.md §6)")
+    if n_sub < 1:
+        raise ValueError(f"n_sub={n_sub} must be >= 1")
     der = der if der is not None else make_params(preset)
     from pvderx.checks import check_parameters, check_scenario
     check_parameters(der)
@@ -182,7 +199,7 @@ def make_env_config(
         n_sub=n_sub, horizon=horizon, n_mppt=n_mppt,
         mppt_enable=mppt_enable, voltvar_enable=voltvar_enable,
         k_solar=4, k_grid=4, k_load=2, continuous=continuous,
-        anomaly_detect=anomaly_detect,
+        anomaly_detect=anomaly_detect, integrator=integrator,
     )
     if overrides:
         cfg = replace(cfg, **overrides)
@@ -457,12 +474,25 @@ def _post_window(cfg: EnvConfig, st: EnvState, exog, mppt, t, y1, flag):
     return st1, obs, reward, done, info
 
 
+# the selectable window-integration schemes (SURVEY.md §2.2: one integrator
+# abstraction replacing both the reference's odeint/LSODA and its
+# scipy.integrate.ode vode/bdf alternative path); all share the signature
+# (f, y0, t0, dt, n_sub) -> y1
+INTEGRATORS = {
+    "rk4": rk4_window,
+    "trapezoid": trapezoid_window,
+    "backward_euler": backward_euler_window,
+}
+
+
 def step(cfg: EnvConfig, st: EnvState, action):
     """One control interval (SPEC.md §9). Reference analog: SURVEY.md §3.2."""
     t, exog, mppt, flag = _pre_window(cfg, st, action)
-    # 3. integrate the window (the hot loop; SURVEY §3.2)
+    # 3. integrate the window (the hot loop; SURVEY §3.2) with the scheme
+    # selected by cfg.integrator
     f = lambda y, tt: rhs_core.rhs(y, tt, st.der, exog, jnp)
-    y1 = rk4_window(f, st.y, t, jnp.asarray(cfg.dt_ctrl, st.y.dtype), cfg.n_sub)
+    win = INTEGRATORS[cfg.integrator]
+    y1 = win(f, st.y, t, jnp.asarray(cfg.dt_ctrl, st.y.dtype), cfg.n_sub)
     return _post_window(cfg, st, exog, mppt, t, y1, flag)
 
 

@@ -217,15 +217,18 @@ def _post_window(fc: FleetConfig, st: FleetState, fu, mppt, t, y1):
 
 
 def step(fc: FleetConfig, st: FleetState, action):
-    """One control interval for the whole fleet (SPEC.md §11)."""
+    """One control interval for the whole fleet (SPEC.md §11). The window
+    scheme follows fc.base.integrator (see env.core.INTEGRATORS); implicit
+    schemes solve the stacked [M*n_states] system per step."""
     cfg, m = fc.base, fc.m
     t, fu, mppt = _pre_window(fc, st, action)
     n_s = st.y.shape[-1]
     f = lambda yf, tt: fl.fleet_rhs(yf.reshape(m, n_s), tt, st.der, fu, jnp
                                     ).reshape(-1)
-    y1 = rk4_window(f, st.y.reshape(-1), t,
-                    jnp.asarray(cfg.dt_ctrl, st.y.dtype),
-                    cfg.n_sub).reshape(m, n_s)
+    win = env_core.INTEGRATORS[cfg.integrator]
+    y1 = win(f, st.y.reshape(-1), t,
+             jnp.asarray(cfg.dt_ctrl, st.y.dtype),
+             cfg.n_sub).reshape(m, n_s)
     return _post_window(fc, st, fu, mppt, t, y1)
 
 
@@ -249,6 +252,12 @@ def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
     from functools import partial as _p
 
     from pvderx.env.vector import _local_envs, _shard_mapped_window, _use_pallas
+    if fc.base.integrator != "rk4":
+        if window == "pallas":
+            raise ValueError(
+                f"window='pallas' supports integrator='rk4' only, got "
+                f"{fc.base.integrator!r} (use window='auto'/'scan')")
+        window = "scan"
     n = state.y.shape[0]
     n_loc = _local_envs(n, mesh)
     if _use_pallas(window, n_loc, min(block, n_loc)):

@@ -94,6 +94,14 @@ def _shard_mapped_window(kern, mesh, n_args_rank2):
 
 def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
                      block: int, autoreset: bool, p_pack=None, mesh=None):
+    if cfg.integrator != "rk4":
+        # the fused kernel implements RK4 only; implicit schemes (selectable
+        # per SURVEY.md §2.2) run the vmapped scan path
+        if window == "pallas":
+            raise ValueError(
+                f"window='pallas' supports integrator='rk4' only, got "
+                f"{cfg.integrator!r} (use window='auto'/'scan')")
+        window = "scan"
     n = state.y.shape[0]
     n_loc = _local_envs(n, mesh)
     if _use_pallas(window, n_loc, min(block, n_loc)):
@@ -164,7 +172,8 @@ def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
     # instead of re-stacking 27 [N] fields in every step's body
     p_pack = None
     n_loc = _local_envs(state.y.shape[0], mesh)
-    if _use_pallas(window, n_loc, min(block, n_loc)):
+    if cfg.integrator == "rk4" and _use_pallas(window, n_loc,
+                                               min(block, n_loc)):
         from pvderx.ops.window import P_FIELDS, pack_struct
         p_pack = pack_struct(state.der, P_FIELDS)
 

@@ -71,6 +71,9 @@ _SLOW = {
     "test_checkpoint_restore_onto_tp_mesh",
     # param-specific: the ["10"] twin stays fast
     "test_kernel_matches_scan[50]",
+    # the trapezoid twin is the fast env-level integrator-selection gate
+    "test_env_integrator_vs_oracle[backward_euler-16-0.05-0.02]",
+    "test_dynamic_simulation_integrator_knob",
     # param-specific (the [10-72] twin stays in the fast oracle gate)
     "test_episode_obs_and_returns_match_oracle[50-88]",
 }

@@ -118,3 +118,85 @@ def test_trapezoid_stable_where_rk4_explodes():
     y_tr = jax.jit(lambda y: trapezoid_window(f, y, 0.0, DT, 5))(y0 * 1.001)
     assert not bool(jnp.all(jnp.abs(y_rk) < 1e3))      # RK4 blew up
     assert bool(jnp.all(jnp.abs(y_tr - y0) < 1.0))     # trapezoid stayed put
+
+
+# ---------------------------------------------------------------------------
+# integrator selection through the ENV surface (SURVEY.md §2.2 rows 1-2: one
+# integrator abstraction with selectable scheme, as a product knob — not just
+# a library function)
+# ---------------------------------------------------------------------------
+def _sag_cfg(integ, n_sub, horizon=60):
+    from pvderx.env import core
+    return core.make_env_config(
+        "10", dtype=jnp.float64, n_sub=n_sub, horizon=horizon,
+        integrator=integ,
+        scen=core.ScenarioConfig(
+            p_sag=1.0, p_freq=0.0, sag_depth_lo=0.5, sag_depth_hi=0.5,
+            sag_t_lo=0.3, sag_t_hi=0.3, sag_dur_lo=0.3, sag_dur_hi=0.3))
+
+
+def test_env_config_integrator_validation():
+    from pvderx.env import core
+    with pytest.raises(ValueError, match="integrator="):
+        core.make_env_config("10", integrator="dopri5")
+    with pytest.raises(ValueError, match="stability bound"):
+        core.make_env_config("10", n_sub=8)              # rk4 default
+    cfg = core.make_env_config("10", n_sub=8, integrator="trapezoid")
+    assert cfg.integrator == "trapezoid" and cfg.n_sub == 8
+    # the fused kernel is RK4-only: forcing it with an implicit scheme raises
+    from pvderx.env.vector import make_batch_fns
+    rb, sb = make_batch_fns(cfg, donate=False, window="pallas", block=128)
+    st, obs = rb(jax.random.split(jax.random.PRNGKey(0), 128))
+    with pytest.raises(ValueError, match="rk4"):
+        sb(st, jnp.zeros((128,), jnp.int32))
+
+
+@pytest.mark.parametrize("integ,n_sub,tol_obs,tol_rew", [
+    ("trapezoid", 16, 2e-2, 5e-3),
+    ("backward_euler", 16, 5e-2, 2e-2),
+])
+def test_env_integrator_vs_oracle(integ, n_sub, tol_obs, tol_rew):
+    """Full fixed-seed env episode with an implicit window scheme at n_sub
+    well below RK4's stability bound (40), pinned against the LSODA oracle
+    twin (oracle substitutes only the integrator): the stiffness-margin
+    option works END-TO-END through `core.step`, not just at the window
+    level. Measured: trapezoid@16 tracks obs to 3.3e-3 / rewards to 8.9e-4;
+    backward_euler@16 to 1.1e-2 / 3.7e-3 (f64, sag scenario)."""
+    from pvderx.env import core
+    cfg = _sag_cfg(integ, n_sub)
+    st, _ = core.reset(cfg, jax.random.PRNGKey(3))
+    actions = np.asarray(jax.random.randint(jax.random.PRNGKey(4),
+                                            (cfg.horizon,), 0, 5))
+    obs_o, rew_o, done_o = scipy_ref.run_episode(cfg, st, actions)
+    step = jax.jit(lambda s, a: core.step(cfg, s, a))
+    obs_l, rew_l = [], []
+    s = st
+    for a in actions[:len(rew_o)]:
+        s, ob, r, d, _ = step(s, jnp.asarray(a))
+        obs_l.append(np.asarray(ob))
+        rew_l.append(float(r))
+        if bool(d):
+            break
+    n = min(len(obs_l), len(obs_o))
+    assert n == len(obs_o)  # same episode length as the oracle
+    assert np.abs(np.stack(obs_l)[:n] - obs_o[:n]).max() < tol_obs
+    assert np.abs(np.asarray(rew_l)[:n] - rew_o[:n]).max() < tol_rew
+
+
+def test_dynamic_simulation_integrator_knob():
+    """The standalone-sim surface takes the same knob (SURVEY §2.1 #3)."""
+    from pvderx.scenario.events import EventBuilder
+    from pvderx.sim import DynamicSimulation
+
+    ev = EventBuilder()
+    ev.add_grid_event(0.3, 0.6)
+    ev.add_grid_event(0.6, 1.0)
+    sims = {}
+    for integ, n_sub in [("trapezoid", 16), ("rk4", 72)]:
+        sim = DynamicSimulation("10", events=ev, tStop=1.0, n_sub=n_sub,
+                                integrator=integ)
+        series = sim.run_simulation()
+        assert np.isfinite(series["vdc"]).all()
+        sims[integ] = series
+    # both schemes resolve the same physics (trapezoid@16 is 2nd-order)
+    assert np.abs(sims["trapezoid"]["vdc"] - sims["rk4"]["vdc"]).max() < 2e-2
