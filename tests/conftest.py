@@ -74,6 +74,20 @@ _SLOW = {
     # the trapezoid twin is the fast env-level integrator-selection gate
     "test_env_integrator_vs_oracle[backward_euler-16-0.05-0.02]",
     "test_dynamic_simulation_integrator_knob",
+    # independent supervisory oracle: seed [0] + the trip episode + the
+    # no-env-imports check stay fast; the other 7 seeds and the feature/
+    # 3-phase variants run in the slow suite
+    "test_independent_oracle_random_scenarios[1]",
+    "test_independent_oracle_random_scenarios[2]",
+    "test_independent_oracle_random_scenarios[3]",
+    "test_independent_oracle_random_scenarios[4]",
+    "test_independent_oracle_random_scenarios[5]",
+    "test_independent_oracle_random_scenarios[6]",
+    "test_independent_oracle_random_scenarios[7]",
+    "test_independent_oracle_features[voltvar]",
+    "test_independent_oracle_features[mppt]",
+    "test_independent_oracle_features[anomaly]",
+    "test_independent_oracle_three_phase",
     # param-specific (the [10-72] twin stays in the fast oracle gate)
     "test_episode_obs_and_returns_match_oracle[50-88]",
 }
