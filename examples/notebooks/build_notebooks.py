@@ -166,22 +166,63 @@ def nb_train():
         "plt.close(fig)\n"
         "display(Image(\"/tmp/pvderx_nb_dqn.png\"))\n"))
     c.append(nbf.v4.new_markdown_cell(
-        "## PPO (the reference's PPO demo)\n\n"
+        "## PPO (the reference's PPO demo) — and proof that it LEARNS\n\n"
         "Same design: rollout scan + GAE + minibatched clipped-PPO epochs in "
-        "one XLA program. For full-scale runs use `examples/train_ppo.py "
-        "--n-envs 8192` on a TPU host."))
+        "one XLA program. Here on the BASELINE config-3 task (anomaly "
+        "detection under frequent sags): the agent earns +0.5 for flagging "
+        "while an injected event is active, −0.2 for false alarms. A random "
+        "policy averages ≈0.064/step; PPO reaches ≈0.099 within 60 updates "
+        "— the same seeded gate `tests/test_learning.py` enforces. For "
+        "full-scale runs use `examples/train_ppo.py --n-envs 8192` on a TPU "
+        "host."))
     c.append(nbf.v4.new_code_cell(
+        "from pvderx.env.core import ScenarioConfig\n"
         "from pvderx.learn import PPOConfig, make_ppo\n"
+        "from pvderx.learn.env_api import make_env_api\n"
         "\n"
-        "ppo = PPOConfig(rollout_len=8, n_epochs=2, n_minibatch=2)\n"
-        "init_runner, train_step, _ = make_ppo(cfg, ppo)\n"
+        "cfg3 = make_env_config(\"10\", n_sub=40, horizon=50, anomaly_detect=True,\n"
+        "                       scen=ScenarioConfig(p_sag=0.9, p_freq=0.1,\n"
+        "                                          sag_depth_lo=0.2, sag_depth_hi=0.85))\n"
+        "ppo = PPOConfig(rollout_len=16, n_epochs=2, n_minibatch=4,\n"
+        "                lr=3e-3, ent_coef=0.005)\n"
+        "init_runner, train_step, _ = make_ppo(cfg3, ppo, hidden=(32, 32))\n"
         "prunner = init_runner(jax.random.PRNGKey(1), 64)\n"
         "pts = jax.jit(train_step, donate_argnums=(0,))\n"
-        "for i in range(20):\n"
+        "ppo_hist = []\n"
+        "for i in range(60):\n"
         "    prunner, m = pts(prunner)\n"
-        "    if i % 5 == 0 or i == 19:\n"
-        "        print(f\"update {i:2d}: reward={float(m['reward_mean']):+.3f} \"\n"
-        "              f\"loss={float(m['loss']):.4f} entropy={float(m['entropy']):.3f}\")\n"))
+        "    ppo_hist.append(float(m[\"reward_mean\"]))\n"
+        "    if i % 15 == 0 or i == 59:\n"
+        "        print(f\"update {i:2d}: reward={ppo_hist[-1]:+.4f} \"\n"
+        "              f\"loss={float(m['loss']):.4f} entropy={float(m['entropy']):.3f}\")\n"
+        "\n"
+        "# random-policy baseline on the same env\n"
+        "api = make_env_api(cfg3)\n"
+        "st, ob = api.reset_batch(jax.random.PRNGKey(2), 64)\n"
+        "stp = jax.jit(api.step)\n"
+        "key, tot = jax.random.PRNGKey(3), []\n"
+        "for _ in range(320):\n"
+        "    key, k = jax.random.split(key)\n"
+        "    st, ob, r, d, _ = stp(st, jax.random.randint(k, (64,), 0, api.n_actions))\n"
+        "    tot.append(float(r.mean()))\n"
+        "rand_ret = float(np.mean(tot))\n"
+        "print(f\"random policy: {rand_ret:+.4f}   PPO (last 10): \"\n"
+        "      f\"{float(np.mean(ppo_hist[-10:])):+.4f}\")\n"))
+    c.append(nbf.v4.new_code_cell(
+        "fig, ax = plt.subplots(figsize=(7, 3.2))\n"
+        "sm = np.convolve(ppo_hist, np.ones(5) / 5, mode=\"valid\")\n"
+        "ax.plot(np.arange(len(sm)) + 4, sm, lw=2, color=\"#2f6f9f\",\n"
+        "        label=\"PPO (5-update smoothed)\")\n"
+        "ax.axhline(rand_ret, color=\"#b0413e\", ls=\"--\", lw=1.5,\n"
+        "           label=f\"random policy ({rand_ret:+.3f})\")\n"
+        "ax.set_xlabel(\"train_step\")\n"
+        "ax.set_ylabel(\"mean per-step reward\")\n"
+        "ax.set_title(\"PPO learns anomaly flagging (BASELINE config 3, CPU demo)\")\n"
+        "ax.legend(loc=\"lower right\")\n"
+        "ax.grid(True, alpha=0.3)\n"
+        "fig.savefig(\"/tmp/pvderx_nb_ppo.png\", dpi=120, bbox_inches=\"tight\")\n"
+        "plt.close(fig)\n"
+        "display(Image(\"/tmp/pvderx_nb_ppo.png\"))\n"))
     c.append(nbf.v4.new_markdown_cell(
         "## Deploying the trained policy\n\n"
         "Controllers ultimately run on hosts without JAX (inverter "

@@ -88,6 +88,10 @@ _SLOW = {
     "test_independent_oracle_features[mppt]",
     "test_independent_oracle_features[anomaly]",
     "test_independent_oracle_three_phase",
+    # learning gates: DQN/SAC run in the slow suite; the PPO gate (the
+    # BASELINE config-3 learner) stays fast (~25 s)
+    "test_dqn_learns_better_than_random",
+    "test_sac_learns_better_than_random",
     # param-specific (the [10-72] twin stays in the fast oracle gate)
     "test_episode_obs_and_returns_match_oracle[50-88]",
 }
