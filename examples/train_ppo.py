@@ -60,7 +60,7 @@ def main():
                 f"--tp {args.tp} does not divide device_count="
                 f"{jax.device_count()}")
         mesh2 = make_mesh_2d(jax.device_count() // args.tp, args.tp)
-        runner = shard_runner_tp(runner, mesh2, train_step.optimizer)
+        runner = shard_runner_tp(runner, mesh2)
         log.info("2-D (env=%d, model=%d) mesh: env batch DP-sharded, "
                  "learner MLP tensor-parallel", *mesh2.devices.shape)
     elif jax.device_count() > 1:

@@ -6,13 +6,24 @@ from pvderx import physics
 __version__ = "0.3.0"
 
 # Register the Gymnasium env ids at package import, like the reference's
-# `import gym_PVDER` (SURVEY.md §2.1 #1). Skipped only when gymnasium itself
-# is absent — a real import error in the env stack must surface, not be
-# swallowed into a later "No registered env with id" mystery.
+# `import gym_PVDER` (SURVEY.md §2.1 #1) — but WITHOUT importing the env
+# stack: Gymnasium entry points are strings, resolved at gym.make() time, so
+# registration only needs gymnasium itself. `import pvderx` stays light for
+# physics-only users (the lazy-surface contract below; ADVICE r3).
 import importlib.util as _ilu
 
 if _ilu.find_spec("gymnasium") is not None:
-    from pvderx.env import gym_adapter as _gym_adapter  # noqa: F401
+    from gymnasium.envs.registration import register as _gym_register
+    from gymnasium.envs.registration import registry as _gym_registry
+
+    if "pvderx/PVDER-v0" not in _gym_registry:
+        _gym_register(
+            id="pvderx/PVDER-v0",
+            entry_point="pvderx.env.gym_adapter:PVDEREnv",
+            vector_entry_point="pvderx.env.gym_adapter:PVDERVectorEnv")
+    if "pvderx/PVDERFleet-v0" not in _gym_registry:
+        _gym_register(id="pvderx/PVDERFleet-v0",
+                      entry_point="pvderx.env.gym_adapter:PVDERFleetEnv")
 
 # Lazy top-level conveniences (the MIGRATION.md surface) — resolved on first
 # access so `import pvderx` stays light for physics-only users.

@@ -14,9 +14,12 @@ that support concrete:
   collective per pair is the row-layer output ``psum`` over ICI. Output heads
   (and any dim not divisible by the model-axis size) replicate.
 - runner placement (`shard_runner_tp`): env-batch pytrees sharded on 'env'
-  (replicated over 'model'), params TP-sharded, optimizer state placed by
-  re-initializing it under jit from the sharded params so Adam moments
-  inherit the params' shardings (no host-side spec surgery).
+  (replicated over 'model'), params TP-sharded, optimizer state placed
+  VALUE-PRESERVING by `_place_opt_state` — any optax subtree with the
+  params' structure (Adam mu/nu) gets the params' TP specs leaf-for-leaf, so
+  a checkpoint-restored runner keeps its moments. (Re-initializing the
+  optimizer under jit does not work as a sharding template; see
+  `_place_opt_state`.)
 
 Numerics are unchanged: a (env x model) 2-D run reproduces the 1-D env-only
 run (tests/test_tp.py). The reference has no analog — it is single-process
@@ -128,14 +131,13 @@ def _place_opt_state(opt_state, params, mesh: Mesh):
     return place(opt_state)
 
 
-def shard_runner_tp(runner, mesh: Mesh, optimizer=None,
+def shard_runner_tp(runner, mesh: Mesh,
                     env_fields=("env_state", "obs", "replay")):
     """Place a learner runner on a 2-D ('env','model') mesh.
 
     Env-batch fields: axis 0 sharded on 'env' (replicated over 'model').
     Params: TP partition specs. Optimizer state: existing values kept,
-    placed via `_place_opt_state`. Everything else replicates. The
-    `optimizer` argument is unused (kept for API stability).
+    placed via `_place_opt_state`. Everything else replicates.
     """
     from pvderx.dist.sharding import replicate, shard_batch
 

@@ -40,9 +40,16 @@ class PVDEREnv(_BASE):
 
     def __init__(self, preset: str = "10", seed: int = 0, render_mode=None,
                  cfg: core.EnvConfig | None = None, strict_init: bool = False,
-                 init_res_tol: float = 1e-5, **cfg_kw):
+                 init_res_tol: float | None = None, **cfg_kw):
         self.cfg = cfg if cfg is not None else core.make_env_config(preset, **cfg_kw)
         self.strict_init = bool(strict_init)
+        if init_res_tol is None:
+            # dtype-aware default: the Newton residual of a HEALTHY f32 init
+            # sits in the 2e-5..4e-4 roundoff band (the f64 band is <1e-8 —
+            # see tests/test_checks.py::test_reset_residual_f32_band), so a
+            # single f64-grade tolerance would reject every healthy f32 reset
+            init_res_tol = (1e-6 if self.cfg.der.rf.dtype == jnp.float64
+                            else 1e-3)
         self.init_res_tol = float(init_res_tol)
         self._reset_fn = jax.jit(lambda k: core.reset(self.cfg, k))
         self._step_fn = jax.jit(lambda s, a: core.step(self.cfg, s, a))

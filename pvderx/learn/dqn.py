@@ -205,5 +205,4 @@ def make_dqn(env_cfg, dqn: DQNConfig,
                        opt_state=opt_state, replay=rp, env_state=env_state,
                        obs=obs, key=k_next, update_i=update_i), metrics
 
-    train_step.optimizer = tx  # for dist.tp.shard_runner_tp placement
     return init_runner, train_step, net

@@ -200,7 +200,4 @@ def make_ppo(env_cfg, ppo: PPOConfig,
                        env_state=env_state, obs=obs, key=k_next,
                        update_i=runner.update_i + 1), metrics
 
-    # expose the optimizer for placement helpers (dist.tp.shard_runner_tp
-    # re-inits the optimizer state under jit from TP-sharded params)
-    train_step.optimizer = tx
     return init_runner, train_step, net

@@ -86,7 +86,7 @@ if len(sys.argv) > 3 and sys.argv[3] == "tp":
     # identical seed on both processes -> identical host-local runner, then
     # globally placed on the 2-D mesh
     runner = init_runner(jax.random.PRNGKey(7), 8)
-    runner = shard_runner_tp(runner, mesh2, train_step.optimizer)
+    runner = shard_runner_tp(runner, mesh2)
     k0 = runner.params["params"]["Dense_0"]["kernel"]
     assert k0.sharding.spec == P(None, MODEL_AXIS), k0.sharding
     out, metrics = jax.jit(train_step)(runner)

@@ -161,6 +161,20 @@ def test_gym_adapter_surfaces_init_res():
         strict.reset(seed=0)
 
 
+def test_strict_init_default_tol_is_dtype_aware():
+    """ADVICE r3: the default tolerance must accept HEALTHY resets in both
+    dtypes — f32 residuals sit in the 2e-5..4e-4 roundoff band, so a single
+    f64-grade default would raise on every f32 reset."""
+    from pvderx.env.gym_adapter import PVDEREnv
+
+    for dtype, expect_tol in ((jnp.float32, 1e-3), (jnp.float64, 1e-6)):
+        env = PVDEREnv("10", dtype=dtype, strict_init=True, scen=_AGGRESSIVE)
+        assert env.init_res_tol == expect_tol
+        for seed in range(4):
+            obs, info = env.reset(seed=seed)   # must not raise
+            assert np.isfinite(info["init_res"])
+
+
 def test_config_leaves_are_host_arrays():
     """Configs must hold numpy (host) leaves, never device arrays: every
     closed-over device-array constant costs one device->host fetch at MLIR

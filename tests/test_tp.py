@@ -60,7 +60,7 @@ def test_tp_train_step_matches_dp_only():
 
     # --- 2-D (env=4, model=2) TP placement ---
     mesh2 = make_mesh_2d(4, 2)
-    r2 = shard_runner_tp(runner0, mesh2, train_step.optimizer)
+    r2 = shard_runner_tp(runner0, mesh2)
     # params are genuinely split over the model axis
     k0 = r2.params["params"]["Dense_0"]["kernel"]
     assert k0.sharding.spec == P(None, MODEL_AXIS)
@@ -87,7 +87,7 @@ def test_shard_runner_tp_preserves_optimizer_state():
     trained, _ = jax.jit(train_step)(runner)  # nonzero mu/nu + count=updates
 
     mesh2 = make_mesh_2d(4, 2)
-    placed = shard_runner_tp(trained, mesh2, train_step.optimizer)
+    placed = shard_runner_tp(trained, mesh2)
     for old, new in zip(jax.tree.leaves(trained.opt_state),
                         jax.tree.leaves(placed.opt_state)):
         np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
@@ -112,7 +112,7 @@ def test_checkpoint_restore_onto_tp_mesh(tmp_path):
     save(path, trained)
 
     mesh2 = make_mesh_2d(4, 2)
-    target = shard_runner_tp(trained, mesh2, train_step.optimizer)
+    target = shard_runner_tp(trained, mesh2)
     restored = restore(path, target)
     k0 = restored.params["params"]["Dense_0"]["kernel"]
     assert k0.sharding.spec == P(None, MODEL_AXIS)
