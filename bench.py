@@ -293,10 +293,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="10")
     ap.add_argument("--n-envs", type=int, default=32768,
-                    help="v5e sweep at n_sub=72/chunk=480: 23.3M (8k) / "
+                    help="v5e sweep at n_sub=72/chunk=480 (round-2 era, when "
+                         "block_until_ready still blocked): 23.3M (8k) / "
                          "26.2M (16k) / 28.9M (32k) / 29.5M (64k) "
                          "env-steps/s — 32k is the knee (64k buys ~2% for "
-                         "2x the reset compile)")
+                         "2x the reset compile); round-4 scalar-fetch record "
+                         "at 32k is 28.0M (Kahan kernel)")
     ap.add_argument("--n-sub", type=int, default=72,
                     help="RK4 substeps per 1/60 s window. Per-preset 1e-6 "
                          "knees vs the LSODA truth oracle on the hardest "

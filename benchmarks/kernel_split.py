@@ -6,6 +6,7 @@ events, obs/reward, autoreset) to direct optimization effort.
 import os, time, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
+from pvderx.diag.profiler import force_sync
 from pvderx.env import make_env_config
 from pvderx.env.vector import make_batch_fns, rollout
 from pvderx.ops.window import (P_FIELDS, U_FIELDS, pack_struct,
@@ -20,7 +21,7 @@ cfg = make_env_config("10", dtype=jnp.float32, n_sub=NSUB)
 reset_b, step_b = make_batch_fns(cfg)
 keys = jax.random.split(jax.random.PRNGKey(0), N)
 state, obs = reset_b(keys)
-jax.block_until_ready(obs)
+force_sync(obs)
 
 p_pack = pack_struct(state.der, P_FIELDS)
 t, exog, mppt, flag = jax.jit(jax.vmap(lambda s, a: core._pre_window(cfg, s, a)))(
@@ -39,10 +40,10 @@ def kern_chunk(y):
 
 kc = jax.jit(kern_chunk, donate_argnums=(0,))
 y = state.y
-y = kc(y); jax.block_until_ready(y)
+y = kc(y); force_sync(y)
 ts = []
 for _ in range(4):
-    t0 = time.perf_counter(); y = kc(y); jax.block_until_ready(y)
+    t0 = time.perf_counter(); y = kc(y); force_sync(y)
     ts.append(time.perf_counter() - t0)
 tk = min(ts)
 print(f"kernel-only: {tk:.3f}s/{CHUNK} windows -> {tk/CHUNK*1e3:.3f} ms/window "
@@ -57,12 +58,12 @@ policy = lambda ob, k: jnp.zeros((ob.shape[0],), jnp.int32)
 ro = jax.jit(lambda s, o, k: rollout(cfg, s, o, policy, CHUNK, k),
              donate_argnums=(0, 1))
 state, obs, rews, dones = ro(state, obs, jax.random.PRNGKey(1))
-jax.block_until_ready(rews)
+force_sync(rews)
 ts = []
 for r in range(4):
     t0 = time.perf_counter()
     state, obs, rews, dones = ro(state, obs, jax.random.PRNGKey(2 + r))
-    jax.block_until_ready(rews)
+    force_sync(rews)
     ts.append(time.perf_counter() - t0)
 tf = min(ts)
 print(f"full step:   {tf:.3f}s/{CHUNK} steps  -> {tf/CHUNK*1e3:.3f} ms/step  "

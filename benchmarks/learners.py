@@ -1,0 +1,83 @@
+"""Learner throughput: full jitted train_step env-steps/s per algorithm.
+
+Sizes match PARITY.md's learner table (PPO 16384 envs / DQN+SAC 4096 /
+fleet-PPO M=16 2048). Sync discipline is the round-4 contract (bench.py):
+every timed region ends in a host fetch of a scalar metric — the chained
+runner state plus the final scalar fetch make dispatch-only timing
+impossible. Usage:  python benchmarks/learners.py [ppo|dqn|sac|fleet_ppo|all]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def enable_cache():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench(name, make, cfg, lcfg, n_envs, steps_per_update, n_updates=100,
+          metric="loss", **mk_kw):
+    init_runner, train_step, _ = make(cfg, lcfg, **mk_kw)
+    t0 = time.perf_counter()
+    runner = init_runner(jax.random.PRNGKey(0), n_envs)
+    ts = jax.jit(train_step, donate_argnums=(0,))
+    runner, m = ts(runner)
+    float(m[metric])   # scalar fetch — the only real barrier on this platform
+    print(f"{name}: init+compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(n_updates):
+        runner, m = ts(runner)
+    float(m[metric])   # chained runner => this forces all n_updates
+    el = time.perf_counter() - t0
+    rate = n_envs * steps_per_update * n_updates / el
+    print(f"{name}: {rate:,.0f} env-steps/s "
+          f"({el:.2f}s / {n_updates} updates, {n_envs} envs)")
+    return rate
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    enable_cache()
+    from pvderx.env import make_env_config
+    from pvderx.env.fleet import make_fleet_config
+    from pvderx.learn import (
+        DQNConfig, PPOConfig, SACConfig, make_dqn, make_ppo, make_sac)
+
+    results = {}
+    if which in ("ppo", "all"):
+        cfg = make_env_config("10", n_sub=72)
+        ppo = PPOConfig(rollout_len=16, n_epochs=4, n_minibatch=4)
+        results["ppo"] = bench("ppo", make_ppo, cfg, ppo, 16384,
+                               ppo.rollout_len, n_updates=60)
+    if which in ("dqn", "all"):
+        cfg = make_env_config("10", n_sub=72)
+        dqn = DQNConfig(rollout_len=4, n_updates=4, batch_size=1024,
+                        capacity=262144)
+        results["dqn"] = bench("dqn", make_dqn, cfg, dqn, 4096,
+                               dqn.rollout_len, n_updates=400)
+    if which in ("sac", "all"):
+        cfg = make_env_config("10", n_sub=72, continuous=True)
+        sac = SACConfig(rollout_len=4, n_updates=4, batch_size=1024,
+                        capacity=262144)
+        results["sac"] = bench("sac", make_sac, cfg, sac, 4096,
+                               sac.rollout_len, n_updates=300,
+                               metric="critic_loss")
+    if which in ("fleet_ppo", "all"):
+        fc = make_fleet_config("10", m=16, n_sub=72)
+        ppo = PPOConfig(rollout_len=16, n_epochs=4, n_minibatch=4)
+        results["fleet_ppo"] = bench("fleet_ppo", make_ppo, fc, ppo, 2048,
+                                     ppo.rollout_len, n_updates=100)
+    import json
+    print(json.dumps({k: round(v, 1) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,7 @@ def main():
     for i in range(args.updates):
         runner, metrics = ts(runner)
         if i % 10 == 0 or i == args.updates - 1:
-            jax.block_until_ready(metrics["loss"])
+            float(metrics["loss"])  # scalar fetch: the only real barrier (bench.py)
             rate = (args.n_envs * PPOConfig().rollout_len * (i + 1)
                     / (time.perf_counter() - t0))
             log.info("update %d: loss=%.4f reward=%.3f (%.0f env-steps/s)",

@@ -43,7 +43,7 @@ def main():
     for i in range(args.updates):
         runner, metrics = ts(runner)
         if i % 10 == 0 or i == args.updates - 1:
-            jax.block_until_ready(metrics["critic_loss"])
+            float(metrics["critic_loss"])  # scalar fetch: the only real barrier
             rate = (args.n_envs * sac.rollout_len * (i + 1)
                     / (time.perf_counter() - t0))
             log.info("update %d: critic=%.4f reward=%.3f alpha=%.3f "

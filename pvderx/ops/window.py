@@ -111,6 +111,9 @@ def _fleet_window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, m,
     p = unpack_struct(DERParams, p_ref[:], P_FIELDS, n_ph=n_ph)
     u = unpack_struct(Exog, u_ref[:], U_FIELDS)
     t0 = t_ref[0, 0]                  # [R, 128] per-env window start time
+                                      # (single copy — t is env-wide, not
+                                      # per-unit; an M-broadcast here cost
+                                      # 0.25 MiB of the 16 MiB scoped VMEM)
     # shared feeder quantities: unit 0's grid/load fields (identical across M
     # by the fleet contract), kept as [1, R, 128] slices so shapes broadcast
     shared = lambda l: l[0:1]
@@ -173,8 +176,8 @@ def rk4_fleet_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, m: int,
     grid = (n // block,)
     kernel = partial(_fleet_window_kernel, n_ph=n_ph, m=m, n_sub=n_sub, h=h)
 
-    def spec(n_rows):
-        return pl.BlockSpec((n_rows, m, rows, LANE), lambda i: (0, 0, i, 0),
+    def spec(n_rows, n_m=m):
+        return pl.BlockSpec((n_rows, n_m, rows, LANE), lambda i: (0, 0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def tiles(a, n_rows):
@@ -184,12 +187,21 @@ def rk4_fleet_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, m: int,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec(1), spec(n_s), spec(len(P_FIELDS)), spec(len(U_FIELDS))],
+        in_specs=[spec(1, 1), spec(n_s), spec(len(P_FIELDS)),
+                  spec(len(U_FIELDS))],
         out_specs=spec(n_s),
         out_shape=jax.ShapeDtypeStruct((n_s, m, n // LANE, LANE), y.dtype),
+        # the Kahan compensation carry adds one [n_s, M, R, 128] block on
+        # top of the r03 working set, which sat exactly at Mosaic's 16 MiB
+        # default scoped-vmem cap at block=1024/M=16; raise the cap (v5e has
+        # 128 MiB physical VMEM) instead of shrinking the block to rows=4
+        # half-tiles (measured 2x slower at block=512)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(
-        jnp.broadcast_to(t0[None, None, :], (1, m, n)).reshape(1, m, -1, LANE),
+        # t is env-wide: one [1, 1, R, 128] copy, not M (VMEM headroom —
+        # the Kahan carry consumes one extra [n_s, M, R, 128] block)
+        t0.reshape(1, 1, -1, LANE),
         tiles(y.transpose(2, 0, 1), n_s),
         tiles(p_pack, len(P_FIELDS)),
         tiles(u_pack, len(U_FIELDS)),
