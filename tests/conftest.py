@@ -88,10 +88,25 @@ _SLOW = {
     "test_independent_oracle_features[mppt]",
     "test_independent_oracle_features[anomaly]",
     "test_independent_oracle_three_phase",
-    # learning gates: DQN/SAC run in the slow suite; the PPO gate (the
-    # BASELINE config-3 learner) stays fast (~25 s)
+    # learning gates are minute-scale training runs — all three in slow
+    "test_ppo_learns_better_than_random",
     "test_dqn_learns_better_than_random",
     "test_sac_learns_better_than_random",
+    # round-4 fast-gate rebudget (<3 min, verdict weak #5): keep one fast
+    # representative per subsystem, shift the duplicate/heavier twin to slow
+    "test_shard_runner_tp_preserves_optimizer_state",
+    "test_shard_mapped_fleet_kernel_8way",   # single-DER twin stays fast
+    "test_partition_specs_megatron_alternation",
+    "test_rk4_matches_lsoda_deep_sag[10-210]",  # [10-120] stays fast
+    "test_fleet_insolation_jitter_spreads_units",
+    "test_kernel_block_size_invariance_bitwise",
+    "test_check_env_all_variants[continuous]",
+    "test_env_unbalanced_sag_episode",  # the unbalanced LSODA gate stays fast
+    "test_rhs_jacobian_matches_finite_differences[50]",  # [10] stays fast
+    "test_shard_mapped_kernel_path_8way",  # also exercised by the dryrun
+    "test_independent_oracle_random_scenarios[0]",  # trip episode stays fast
+    "test_gymnasium_adapter",  # check_env conformance tests stay fast
+    "test_rk4_matches_lsoda_deep_sag[50-120]",  # 3-φ LSODA cover: unbalanced
     # param-specific (the [10-72] twin stays in the fast oracle gate)
     "test_episode_obs_and_returns_match_oracle[50-88]",
 }
