@@ -152,12 +152,18 @@ def run_episode_independent(cfg, state, actions, rtol=scipy_ref.RTOL,
         t = t_step * dt
         # 1. action -> setpoint nudges (SPEC §9); auto-controlled fields
         #    ignore the agent
-        a = int(a)
         flag = 0.0
-        dq = cfg.dq_action * ((a == 1) - (a == 2))
-        dv = cfg.dv_action * ((a == 3) - (a == 4))
-        if cfg.anomaly_detect and a == 5:
-            flag = 1.0
+        if cfg.continuous:
+            # continuous extension: action [2] in [-1,1] scales the deltas
+            av = np.clip(np.asarray(a, np.float64), -1.0, 1.0)
+            dq = cfg.dq_action * av[0]
+            dv = cfg.dv_action * av[1]
+        else:
+            a = int(a)
+            dq = cfg.dq_action * ((a == 1) - (a == 2))
+            dv = cfg.dv_action * ((a == 3) - (a == 4))
+            if cfg.anomaly_detect and a == 5:
+                flag = 1.0
         if not cfg.voltvar_enable:
             q_ref = float(np.clip(q_ref + dq, cfg.q_lo, cfg.q_hi))
         if not cfg.mppt_enable:

@@ -88,6 +88,7 @@ _SLOW = {
     "test_independent_oracle_features[mppt]",
     "test_independent_oracle_features[anomaly]",
     "test_independent_oracle_three_phase",
+    "test_independent_oracle_continuous_actions",
     # learning gates are minute-scale training runs — all three in slow
     "test_ppo_learns_better_than_random",
     "test_dqn_learns_better_than_random",
@@ -104,6 +105,7 @@ _SLOW = {
     "test_env_unbalanced_sag_episode",  # the unbalanced LSODA gate stays fast
     "test_rhs_jacobian_matches_finite_differences[50]",  # [10] stays fast
     "test_shard_mapped_kernel_path_8way",  # also exercised by the dryrun
+    "test_shard_mapped_kernel_on_2d_mesh",
     "test_independent_oracle_random_scenarios[0]",  # trip episode stays fast
     "test_gymnasium_adapter",  # check_env conformance tests stay fast
     "test_rk4_matches_lsoda_deep_sag[50-120]",  # 3-φ LSODA cover: unbalanced

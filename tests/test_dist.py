@@ -185,6 +185,29 @@ def test_shard_mapped_kernel_path_8way(cfg):
     np.testing.assert_array_equal(np.asarray(d_sm), np.asarray(d_ref))
 
 
+def test_shard_mapped_kernel_on_2d_mesh(cfg):
+    """The kernel's shard_map must compose with the 2-D ('env','model') TP
+    mesh: the batch shards over the 4-way env axis, the kernel result rides
+    replicated over the 2-way model axis (the layout a TP learner run uses).
+    """
+    from pvderx.dist import make_mesh_2d, shard_batch
+
+    N = 512  # 4 env-shards x 128 local envs
+    mesh = make_mesh_2d(4, 2)
+    rb, sb = make_batch_fns(cfg, donate=False, window="pallas", block=128,
+                            mesh=mesh)
+    _, sb_scan = make_batch_fns(cfg, donate=False, window="scan")
+    keys = jax.random.split(jax.random.PRNGKey(21), N)
+    st, obs = rb(keys)
+    acts = jnp.arange(N, dtype=jnp.int32) % 5
+    st1, o_sm, r_sm, d_sm, _ = sb(shard_batch(st, mesh),
+                                  shard_batch(acts, mesh))
+    assert len(o_sm.sharding.device_set) == 8  # spans the whole 2-D mesh
+    _, o_ref, r_ref, d_ref, _ = sb_scan(st, acts)
+    np.testing.assert_allclose(np.asarray(o_sm), np.asarray(o_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(d_sm), np.asarray(d_ref))
+
+
 def test_shard_mapped_fleet_kernel_8way():
     """Same structural guarantee for the rank-4 fleet kernel: shard_map over
     'env' with M units per env riding along unsharded."""

@@ -87,6 +87,20 @@ def test_profiler_compile_report_and_stopwatch():
     assert float(sw.state[0]) >= 2.0  # state actually advanced (chained)
 
 
+def test_force_sync_returns_derived_scalar():
+    """force_sync must fetch a value computed FROM the output (the round-4
+    sync contract: a host fetch is the only barrier that cannot return
+    before execution — jax.block_until_ready provably no-ops on the axon
+    remote-dispatch platform)."""
+    from pvderx.diag.profiler import force_sync
+
+    x = jax.jit(lambda a: a * 2.0)(jnp.arange(4, dtype=jnp.float32))
+    assert force_sync(x) == pytest.approx(12.0)   # sum(0,2,4,6)
+    # pytrees: reduces the first leaf
+    tree = {"a": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    assert force_sync(tree) == pytest.approx(3.0)
+
+
 def test_metrics_logger(tmp_path):
     path = str(tmp_path / "m.jsonl")
     ml = MetricsLogger(path)

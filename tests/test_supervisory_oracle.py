@@ -28,8 +28,13 @@ def _compare_episode(cfg, seed, n_act=None):
         n_act = core.N_ACTIONS_ANOM if cfg.anomaly_detect else core.N_ACTIONS
     step = jax.jit(lambda s, a: core.step(cfg, s, a))
     st, _ = core.reset(cfg, jax.random.PRNGKey(seed))
-    actions = np.asarray(jax.random.randint(
-        jax.random.PRNGKey(seed + 1), (cfg.horizon,), 0, n_act))
+    if cfg.continuous:
+        actions = np.asarray(jax.random.uniform(
+            jax.random.PRNGKey(seed + 1), (cfg.horizon, core.ACT_DIM_CONT),
+            jnp.float64, minval=-1.2, maxval=1.2))  # beyond [-1,1]: clip path
+    else:
+        actions = np.asarray(jax.random.randint(
+            jax.random.PRNGKey(seed + 1), (cfg.horizon,), 0, n_act))
     obs_o, rew_o, done_o = supervisory_np.run_episode_independent(
         cfg, st, actions)
     s = st
@@ -82,6 +87,14 @@ def test_independent_oracle_features(feature):
 
 def test_independent_oracle_three_phase():
     cfg = core.make_env_config("50", dtype=jnp.float64, n_sub=120, horizon=40)
+    _compare_episode(cfg, 11)
+
+
+def test_independent_oracle_continuous_actions():
+    """The continuous Box(2) extension: per-step deltas scaled by the (out-of
+    -range, so clipped) action vector, recomputed independently."""
+    cfg = core.make_env_config("10", dtype=jnp.float64, n_sub=120, horizon=40,
+                               continuous=True)
     _compare_episode(cfg, 11)
 
 
