@@ -240,3 +240,146 @@ def run_episode_independent(cfg, state, actions, rtol=scipy_ref.RTOL,
         if done:
             break
     return np.stack(obs_l), np.asarray(rew_l), np.asarray(done_l)
+
+
+def _integrate_fleet_window(y, t0, dt, der, fu, rtol, atol):
+    """LSODA over the stacked [M*n_s] fleet system (shared-feeder coupling
+    via physics.fleet.fleet_rhs — physics core, not supervisory code)."""
+    from scipy.integrate import solve_ivp
+
+    from pvderx.physics import fleet as fl
+
+    m, n_s = y.shape
+    sol = solve_ivp(
+        lambda t, yy: fl.fleet_rhs(yy.reshape(m, n_s), t, der, fu,
+                                   np).reshape(-1),
+        (t0, t0 + dt), y.reshape(-1), method="LSODA", rtol=rtol, atol=atol)
+    if not sol.success:
+        raise RuntimeError(f"fleet oracle LSODA failed at t0={t0}")
+    return sol.y[:, -1].reshape(m, n_s)
+
+
+def run_fleet_episode_independent(fc, state, actions, rtol=scipy_ref.RTOL,
+                                  atol=scipy_ref.ATOL):
+    """Independent replay of a FLEET episode (BASELINE config 5 supervisory
+    layer, SPEC.md §11): fleet-level Discrete(5) action applied to every
+    unit, shared event fields with per-unit insolation scaling, per-unit
+    ride-through driven by the common PCC voltage magnitude, common Volt-VAR
+    setpoint from unit 0's PCC voltage, per-unit MPPT, aggregate Box(13)
+    observation and fleet-mean reward, termination when ALL units trip.
+    Same independence rules as `run_episode_independent`.
+    """
+    import jax
+
+    from pvderx.physics import fleet as fl
+
+    to_np = lambda tree: jax.tree.map(lambda x: np.asarray(x, np.float64),
+                                      tree)
+    cfg, m = fc.base, fc.m
+    der = to_np(state.der)                    # [M] leaves
+    sched = to_np(state.sched)
+    s_scale = np.asarray(state.s_scale, np.float64)
+    dt = float(cfg.dt_ctrl)
+    horizon = int(cfg.horizon)
+    n_ph = int(cfg.der.n_ph)
+
+    y = np.asarray(state.y, np.float64).copy()           # [M, n_s]
+    vdc_ref = np.asarray(state.vdc_ref, np.float64).copy()
+    q_ref = np.asarray(state.q_ref, np.float64).copy()
+    rtp = to_np(cfg.rt)
+    timers = np.asarray(state.rt.timers, np.float64).copy()   # [M, 6]
+    tripped = np.asarray(state.rt.tripped, np.float64).copy()  # [M]
+    ces = np.asarray(state.rt.ces, np.float64).copy()
+    mppt_p_prev = np.asarray(state.mppt.p_prev, np.float64).copy()
+    mppt_dir = np.asarray(state.mppt.direction, np.float64).copy()
+    t_step = int(state.t_step)
+
+    def fleet_exog(t, vdc_ref, q_ref, conn, ces):
+        s = _active_row(np.asarray(sched.solar, np.float64), t)
+        g = _active_row(np.asarray(sched.grid, np.float64), t)
+        l = _active_row(np.asarray(sched.load, np.float64), t)
+        full = lambda v: np.full((m,), v, np.float64)
+        return Exog(
+            s_irr=s[1] * s_scale, t_cell=full(s[2]),
+            v_g=full(g[1]), phi_g=full(g[2]), dw_g=full(g[3]),
+            t_g=full(g[0]), v_g2=full(g[4]), phi_g2=full(g[5]),
+            g_load=full(l[1]), b_load=full(l[2]),
+            vdc_ref=vdc_ref, q_ref=q_ref, conn=conn, ces=ces,
+            p_ref=np.zeros(m))
+
+    obs_l, rew_l, done_l = [], [], []
+    for a in np.asarray(actions):
+        t = t_step * dt
+        a = int(a)
+        # 1. fleet-level action -> every unit's setpoints
+        if not cfg.voltvar_enable:
+            dq = cfg.dq_action * ((a == 1) - (a == 2))
+            q_ref = np.clip(q_ref + dq, cfg.q_lo, cfg.q_hi)
+        if not cfg.mppt_enable:
+            dv = cfg.dv_action * ((a == 3) - (a == 4))
+            vdc_ref = np.clip(vdc_ref + dv, cfg.v_lo, cfg.v_hi)
+
+        # 2. supervisory layer at window start
+        conn = 1.0 - tripped
+        fu = fleet_exog(t, vdc_ref, q_ref, conn, ces)
+        if cfg.voltvar_enable or cfg.mppt_enable:
+            g0 = fl.fleet_algebra(y, t, der, fu, np)
+            if cfg.voltvar_enable:
+                v0 = float(np.hypot(g0.v_pos.re[0], g0.v_pos.im[0]))
+                q_ref = np.full((m,), _voltvar_qref(v0, float(cfg.q_vv)))
+            if cfg.mppt_enable and t_step % int(cfg.n_mppt) == 0:
+                for j in range(m):
+                    p_pv = float(g0.p_pv[j])
+                    new_dir = (mppt_dir[j] if p_pv - mppt_p_prev[j] >= 0
+                               else -mppt_dir[j])
+                    vdc_ref[j] = float(np.clip(
+                        vdc_ref[j] + _MPPT_DV * new_dir, _MPPT_LO, _MPPT_HI))
+                    mppt_p_prev[j], mppt_dir[j] = p_pv, new_dir
+            fu = Exog(**{**{f: getattr(fu, f) for f in
+                            fu.__dataclass_fields__},
+                         "vdc_ref": vdc_ref, "q_ref": q_ref})
+
+        # 3. integrate the coupled window (LSODA truth)
+        y = _integrate_fleet_window(y, t, dt, der, fu, rtol, atol)
+
+        # 4. per-unit ride-through on the COMMON PCC voltage magnitude
+        g1 = fl.fleet_algebra(y, t + dt, der, fu, np)
+        v_mag1 = float(np.hypot(g1.v_pos.re[0], g1.v_pos.im[0]))
+        was = tripped.copy()
+        for j in range(m):
+            rt_j = _RideThrough(rtp, timers=timers[j], tripped=tripped[j],
+                                ces=ces[j])
+            rt_j.update(v_mag1, float(g1.f_meas[j]), dt)
+            timers[j], tripped[j], ces[j] = rt_j.timers, rt_j.tripped, rt_j.ces
+        trip_now = float(np.mean(tripped * (1.0 - was)))
+        t_step += 1
+
+        # 5. aggregate observation + fleet-mean reward (SPEC §11)
+        obs = np.array([
+            np.mean(g1.i_pos.re), np.mean(g1.i_pos.im),
+            g1.v_pos.re[0], g1.v_pos.im[0],
+            np.mean(y[:, 6 * n_ph]),
+            np.mean(g1.p_pcc), np.mean(g1.q_pcc),
+            np.mean(vdc_ref), np.mean(q_ref),
+            np.mean(fu.s_irr) / 1000.0,
+            10.0 * (np.mean(g1.f_meas) - 1.0),
+            t_step / horizon,
+            np.mean(1.0 - tripped),
+        ], np.float64)
+        band = max(v_mag1 - 1.05, 0.0) + max(0.95 - v_mag1, 0.0)
+        reward = (cfg.r_alive
+                  - cfg.w_vdc * abs(float(np.mean(y[:, 6 * n_ph]))
+                                    - float(np.mean(vdc_ref)))
+                  - cfg.w_q * abs(float(np.mean(g1.q_pcc))
+                                  - float(np.mean(q_ref)))
+                  - cfg.w_vband * band
+                  - cfg.r_trip * trip_now)
+        terminated = float(np.min(tripped)) > 0.5
+        truncated = t_step >= horizon
+        done = bool(terminated or truncated)
+        obs_l.append(obs)
+        rew_l.append(float(reward))
+        done_l.append(done)
+        if done:
+            break
+    return np.stack(obs_l), np.asarray(rew_l), np.asarray(done_l)

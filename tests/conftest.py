@@ -89,6 +89,10 @@ _SLOW = {
     "test_independent_oracle_features[anomaly]",
     "test_independent_oracle_three_phase",
     "test_independent_oracle_continuous_actions",
+    "test_independent_oracle_fleet",
+    "test_independent_oracle_fleet_features[s_jitter]",
+    "test_independent_oracle_fleet_features[voltvar]",
+    "test_independent_oracle_fleet_features[mppt]",
     # learning gates are minute-scale training runs — all three in slow
     "test_ppo_learns_better_than_random",
     "test_dqn_learns_better_than_random",

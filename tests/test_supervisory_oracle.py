@@ -98,6 +98,56 @@ def test_independent_oracle_continuous_actions():
     _compare_episode(cfg, 11)
 
 
+def _compare_fleet_episode(fc, seed=5):
+    from pvderx.env import fleet
+
+    step = jax.jit(lambda s, a: fleet.step(fc, s, a))
+    st, _ = fleet.reset(fc, jax.random.PRNGKey(seed))
+    actions = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(seed + 1), (fc.base.horizon,), 0, 5))
+    obs_o, rew_o, done_o = supervisory_np.run_fleet_episode_independent(
+        fc, st, actions)
+    s = st
+    obs_l, rew_l, done_l = [], [], []
+    for a in actions:
+        s, ob, r, d, _ = step(s, jnp.asarray(a))
+        obs_l.append(np.asarray(ob))
+        rew_l.append(float(r))
+        done_l.append(bool(d))
+        if done_l[-1]:
+            break
+    assert len(obs_l) == len(obs_o)
+    np.testing.assert_allclose(np.stack(obs_l), obs_o, rtol=0, atol=TOL_OBS)
+    np.testing.assert_allclose(np.asarray(rew_l), rew_o, rtol=0, atol=TOL_REW)
+    np.testing.assert_array_equal(np.asarray(done_l), done_o)
+
+
+def test_independent_oracle_fleet():
+    """BASELINE config 5's supervisory layer (fleet-level action, per-unit
+    ride-through on the common PCC voltage, aggregate obs, fleet-mean reward)
+    recomputed independently; LSODA over the coupled [M*n_s] feeder system.
+    Measured ≤8.4e-9 obs / 1.1e-9 reward at n_sub=120 f64 (M=4)."""
+    from pvderx.env.fleet import make_fleet_config
+
+    fc = make_fleet_config("10", m=4, dtype=jnp.float64, n_sub=120,
+                           horizon=40)
+    _compare_fleet_episode(fc)
+
+
+@pytest.mark.parametrize("feature", ["s_jitter", "voltvar", "mppt"])
+def test_independent_oracle_fleet_features(feature):
+    """Per-unit insolation spread (partial clouding), common Volt-VAR
+    setpoint, and per-unit MPPT — each ≤8.5e-9 measured."""
+    from pvderx.env.fleet import make_fleet_config
+
+    kw = {"s_jitter": dict(scen=core.ScenarioConfig(fleet_s_jitter=0.3)),
+          "voltvar": dict(voltvar_enable=True),
+          "mppt": dict(mppt_enable=True)}[feature]
+    fc = make_fleet_config("10", m=4, dtype=jnp.float64, n_sub=120,
+                           horizon=30, **kw)
+    _compare_fleet_episode(fc)
+
+
 def test_independent_oracle_shares_no_env_code():
     """The independence guarantee itself: the oracle module must not import
     pvderx.env or pvderx.scenario (directly or at module scope)."""
