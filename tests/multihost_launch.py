@@ -6,7 +6,11 @@ mesh spans 8 devices across both processes; the env batch is sharded over it
 and stepped; per-step rewards are allgathered and checksummed against a
 purely-local reference computation. Exercises: jax.distributed.initialize,
 global mesh construction, make_array_from_process_local_data, cross-process
-collectives (Gloo on CPU; ICI/DCN on real pods).
+collectives (Gloo on CPU; ICI/DCN on real pods). The "tp" invocation adds
+two more legs: a PPO train step on a 2-D (env, model) mesh whose model axis
+crosses the process boundary, and the shard_map'd production window-kernel
+path on the cross-process 'env' mesh (each process's devices run the kernel
+on their local 128-env shards), checked against the scan path.
 
 Usage: python multihost_launch.py <process_id> <coordinator_port>
 """
@@ -94,6 +98,30 @@ if len(sys.argv) > 3 and sys.argv[3] == "tp":
         metrics["loss"], tiled=True))[0])
     tp_ok = bool(np.isfinite(loss))
 
+# --- kernel leg: the PRODUCTION window-kernel path (shard_map over the
+# global 'env' axis) on a mesh spanning BOTH processes — each process's
+# devices run the kernel on their local 128-env shards (interpret mode on
+# CPU, Mosaic on a real pod). Must agree with the scan path. ---
+kernel_ok = True
+if len(sys.argv) > 3 and sys.argv[3] == "tp":
+    N_K = 128 * 8
+    cfg_k = make_env_config("10", n_sub=40, horizon=8)
+    rbk, sbk = make_batch_fns(cfg_k, donate=False, window="pallas",
+                              block=128, mesh=mesh)
+    _, sbk_scan = make_batch_fns(cfg_k, donate=False, window="scan")
+    keys_k = np.asarray(jax.random.split(jax.random.PRNGKey(3), N_K))
+    slk = process_env_slice(N_K)
+    kk = make_global_array(keys_k[slk], mesh, N_K)
+    stk, obsk = rbk(kk)
+    actsk = make_global_array(
+        np.arange(N_K, dtype=np.int32)[slk] % 5, mesh, N_K)
+    _, o_kern, r_kern, d_kern, _ = sbk(stk, actsk)
+    _, o_scan, r_scan, d_scan, _ = sbk_scan(stk, actsk)
+    o_k = np.asarray(multihost_utils.process_allgather(o_kern, tiled=True))
+    o_s = np.asarray(multihost_utils.process_allgather(o_scan, tiled=True))
+    kernel_ok = bool(np.isfinite(o_k).all()
+                     and np.max(np.abs(o_k - o_s)) < 1e-5)
+
 sync_hosts("done")
 print(f"RESULT proc={proc_id} err={err:.3e} "
-      f"ok={err == 0.0 and tp_ok}", flush=True)
+      f"ok={err == 0.0 and tp_ok and kernel_ok}", flush=True)
