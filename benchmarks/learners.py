@@ -53,25 +53,25 @@ def main():
 
     results = {}
     if which in ("ppo", "all"):
-        cfg = make_env_config("10", n_sub=72)
+        cfg = make_env_config("10", n_sub=64)
         ppo = PPOConfig(rollout_len=16, n_epochs=4, n_minibatch=4)
         results["ppo"] = bench("ppo", make_ppo, cfg, ppo, 16384,
                                ppo.rollout_len, n_updates=60)
     if which in ("dqn", "all"):
-        cfg = make_env_config("10", n_sub=72)
+        cfg = make_env_config("10", n_sub=64)
         dqn = DQNConfig(rollout_len=4, n_updates=4, batch_size=1024,
                         capacity=262144)
         results["dqn"] = bench("dqn", make_dqn, cfg, dqn, 4096,
                                dqn.rollout_len, n_updates=400)
     if which in ("sac", "all"):
-        cfg = make_env_config("10", n_sub=72, continuous=True)
+        cfg = make_env_config("10", n_sub=64, continuous=True)
         sac = SACConfig(rollout_len=4, n_updates=4, batch_size=1024,
                         capacity=262144)
         results["sac"] = bench("sac", make_sac, cfg, sac, 4096,
                                sac.rollout_len, n_updates=300,
                                metric="critic_loss")
     if which in ("fleet_ppo", "all"):
-        fc = make_fleet_config("10", m=16, n_sub=72)
+        fc = make_fleet_config("10", m=16, n_sub=64)
         ppo = PPOConfig(rollout_len=16, n_epochs=4, n_minibatch=4)
         results["fleet_ppo"] = bench("fleet_ppo", make_ppo, fc, ppo, 2048,
                                      ppo.rollout_len, n_updates=100)
