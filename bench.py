@@ -184,6 +184,80 @@ def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
     return max_err
 
 
+def measure_f32_accuracy_fleet(preset: str = "10", m: int = 4,
+                               n_sub: int = 64, n_steps: int = 60):
+    """Config-5 accuracy gate: the fused f32 FLEET kernel vs the coupled
+    fleet LSODA f64 truth (shared feeder, per-unit insolation spread).
+
+    Same protocol as measure_f32_accuracy: eventful scenario (cloud step +
+    deep sag), max abs state error over all window boundaries and units.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pvderx.env.vector import _use_pallas
+    from pvderx.oracle.supervisory_np import _integrate_fleet_window
+    from pvderx.params import make_params, nominal_exog
+    from pvderx.physics import fleet as fl
+    from pvderx.ops.window import (
+        P_FIELDS, U_FIELDS, pack_struct, rk4_fleet_window_batch)
+
+    if not _use_pallas("auto", 128, 128):
+        log("fleet accuracy: no TPU backend, skipping")
+        return None
+    p = make_params(preset)
+    u = nominal_exog()
+    dt = 1.0 / 60.0
+    s_scale = np.linspace(1.0, 0.75, m)     # per-unit partial clouding
+    der = fl.fleetify(p, m, np)
+
+    def fu_at(base_u):
+        fu = fl.fleetify(base_u, m, np)
+        return dataclasses.replace(fu, s_irr=fu.s_irr * s_scale)
+
+    q = n_steps // 3
+    exogs = [fu_at(u)] * q
+    exogs += [fu_at(dataclasses.replace(u, s_irr=400.0))] * q
+    exogs += [fu_at(dataclasses.replace(u, v_g=0.6))] * (n_steps - 2 * q)
+
+    # f64 truth trajectory (coupled LSODA) from the coupled steady state
+    from scipy.optimize import fsolve
+    n_s = p.n_states
+    y0 = fsolve(lambda yf: fl.fleet_rhs(yf.reshape(m, n_s), 0.0, der,
+                                        exogs[0], np).reshape(-1),
+                fl.fleet_guess(der, exogs[0], np).reshape(-1), xtol=1e-13)
+    y0 = y0.reshape(m, n_s)
+    truth = [y0]
+    for k, fu in enumerate(exogs):
+        truth.append(_integrate_fleet_window(truth[-1], k * dt, dt, der, fu,
+                                             1e-10, 1e-10))
+
+    n = 128
+    pf = jax.tree.map(lambda v: jnp.asarray(np.asarray(v, np.float32)), der)
+    pb = jax.tree.map(lambda v: jnp.broadcast_to(v[None, :], (n, m)), pf)
+    p_pack = pack_struct(pb, P_FIELDS)
+
+    @jax.jit
+    def win(y, t0, u_pack):
+        return rk4_fleet_window_batch(y, t0, p_pack, u_pack, n_ph=p.n_ph,
+                                      m=m, n_sub=n_sub, dt=dt, block=n)
+
+    y = jnp.broadcast_to(jnp.asarray(y0, jnp.float32)[None], (n, m, n_s))
+    max_err = 0.0
+    for k, fu in enumerate(exogs):
+        ub = jax.tree.map(
+            lambda v: jnp.broadcast_to(
+                jnp.asarray(np.asarray(v, np.float32))[None, :], (n, m)), fu)
+        y = win(y, jnp.full((n,), k * dt, jnp.float32),
+                pack_struct(ub, U_FIELDS))
+        max_err = max(max_err, float(np.max(np.abs(
+            np.asarray(y[0], np.float64) - truth[k + 1]))))
+    log(f"f32 FLEET kernel vs coupled LSODA f64 truth ({preset}, m={m}, "
+        f"n_sub={n_sub}, {n_steps} windows): max_abs_err={max_err:.3e}")
+    return max_err
+
+
 BASELINE_CONFIGS = {
     # BASELINE.json configs 1-5 (see BASELINE.md). Per-config `chunk` sizes
     # the timed region to >=2 s so the ~23 ms/call dispatch jitter of the
@@ -372,8 +446,15 @@ def main():
         bound = F32_ERR_BOUND[args.preset]
         if not args.no_accuracy:
             # measured at the SAME n_sub the throughput ran with — the gate
-            # must certify the configuration that produced the headline
-            max_err_f32 = measure_f32_accuracy(args.preset, n_sub=args.n_sub)
+            # must certify the configuration that produced the headline; the
+            # fleet config gates the fused FLEET kernel against the coupled
+            # fleet LSODA truth
+            if fleet_m is not None:
+                max_err_f32 = measure_f32_accuracy_fleet(
+                    args.preset, n_sub=args.n_sub)
+            else:
+                max_err_f32 = measure_f32_accuracy(args.preset,
+                                                   n_sub=args.n_sub)
             acc_gate = "PASS" if max_err_f32 <= bound else "FAIL"
             log(f"f32 accuracy gate: {max_err_f32:.3e} <= {bound:.1e} "
                 f"-> {acc_gate}")
