@@ -62,13 +62,13 @@ def main():
         dqn = DQNConfig(rollout_len=4, n_updates=4, batch_size=1024,
                         capacity=262144)
         results["dqn"] = bench("dqn", make_dqn, cfg, dqn, 4096,
-                               dqn.rollout_len, n_updates=400)
+                               dqn.rollout_len, n_updates=800)
     if which in ("sac", "all"):
         cfg = make_env_config("10", n_sub=64, continuous=True)
         sac = SACConfig(rollout_len=4, n_updates=4, batch_size=1024,
                         capacity=262144)
         results["sac"] = bench("sac", make_sac, cfg, sac, 4096,
-                               sac.rollout_len, n_updates=300,
+                               sac.rollout_len, n_updates=700,
                                metric="critic_loss")
     if which in ("fleet_ppo", "all"):
         fc = make_fleet_config("10", m=16, n_sub=64)

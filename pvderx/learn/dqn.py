@@ -53,13 +53,17 @@ class Batch(NamedTuple):
 
 @pytree_dataclass
 class Replay:
-    """Circular replay buffer as static-shape device arrays (discrete acts)."""
+    """Circular replay buffer as ONE packed static-shape matrix.
 
-    obs: jnp.ndarray    # [cap, obs_dim]
-    act: jnp.ndarray    # [cap] int32
-    rew: jnp.ndarray    # [cap]
-    nobs: jnp.ndarray   # [cap, obs_dim]
-    done: jnp.ndarray   # [cap]
+    Row layout: [obs(D) | act | rew | done | nobs(D)], everything riding as
+    the net dtype (the int action column is exact in f32 for small ints,
+    cast back on sample). Same lesson as the PPO minibatch shuffle
+    (learn/ppo.py): k narrow random-row gathers/scatters are index-latency-
+    bound on TPU, one wide-row gather is ~free — packing the buffer cut the
+    DQN update phase measurably (see PARITY.md learner table).
+    """
+
+    data: jnp.ndarray   # [cap, 2*obs_dim + 3]
     ptr: jnp.ndarray    # int32
     size: jnp.ndarray   # int32
 
@@ -101,11 +105,7 @@ def make_dqn(env_cfg, dqn: DQNConfig,
         env_state = api.unalias(env_state)
         cap = dqn.capacity
         replay = Replay(
-            obs=jnp.zeros((cap, api.obs_dim), dtype),
-            act=jnp.zeros((cap,), jnp.int32),
-            rew=jnp.zeros((cap,), dtype),
-            nobs=jnp.zeros((cap, api.obs_dim), dtype),
-            done=jnp.zeros((cap,), dtype),
+            data=jnp.zeros((cap, 2 * api.obs_dim + 3), dtype),
             ptr=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32))
         params_tgt = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         return DQNRunner(params=params, params_tgt=params_tgt,
@@ -139,6 +139,23 @@ def make_dqn(env_cfg, dqn: DQNConfig,
         (env_state, obs), traj = jax.lax.scan(body, (env_state, obs), keys)
         return env_state, obs, traj
 
+    def _pack_rows(flat: Batch):
+        return jnp.concatenate([
+            flat.obs,
+            flat.act[:, None].astype(dtype),   # exact for small ints
+            flat.rew[:, None],
+            flat.done[:, None],
+            flat.nobs,
+        ], axis=1)
+
+    def _unpack_rows(mat) -> Batch:
+        d = api.obs_dim
+        return Batch(obs=mat[:, :d],
+                     act=mat[:, d].astype(jnp.int32),
+                     rew=mat[:, d + 1],
+                     nobs=mat[:, d + 3:],
+                     done=mat[:, d + 2])
+
     def _insert(rp: Replay, traj: Batch) -> Replay:
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
         n = flat.rew.shape[0]
@@ -146,19 +163,14 @@ def make_dqn(env_cfg, dqn: DQNConfig,
         # warns (and will error) under strict promotion when x64 is on
         idx = (rp.ptr + jnp.arange(n, dtype=jnp.int32)) % dqn.capacity
         return Replay(
-            obs=rp.obs.at[idx].set(flat.obs),
-            act=rp.act.at[idx].set(flat.act),
-            rew=rp.rew.at[idx].set(flat.rew),
-            nobs=rp.nobs.at[idx].set(flat.nobs),
-            done=rp.done.at[idx].set(flat.done),
+            data=rp.data.at[idx].set(_pack_rows(flat)),  # ONE wide scatter
             ptr=(rp.ptr + n) % dqn.capacity,
             size=jnp.minimum(rp.size + n, dqn.capacity))
 
     def _sample(rp: Replay, key) -> Batch:
         idx = jax.random.randint(key, (dqn.batch_size,), 0,
                                  jnp.maximum(rp.size, 1), dtype=jnp.int32)
-        return Batch(rp.obs[idx], rp.act[idx], rp.rew[idx], rp.nobs[idx],
-                     rp.done[idx])
+        return _unpack_rows(rp.data[idx])                # ONE wide gather
 
     def _update_once(carry, key):
         params, params_tgt, opt_state, rp = carry

@@ -47,13 +47,14 @@ class Batch(NamedTuple):
 
 @pytree_dataclass
 class Replay:
-    """Circular replay buffer as static-shape device arrays."""
+    """Circular replay buffer as ONE packed static-shape matrix.
 
-    obs: jnp.ndarray    # [cap, obs_dim]
-    act: jnp.ndarray    # [cap, act_dim]
-    rew: jnp.ndarray    # [cap]
-    nobs: jnp.ndarray   # [cap, obs_dim]
-    done: jnp.ndarray   # [cap]
+    Row layout: [obs(D) | act(A) | rew | done | nobs(D)]. Same wide-row
+    gather/scatter design as the DQN replay and the PPO minibatch shuffle
+    (k narrow random-row gathers are index-latency-bound on TPU; one packed
+    gather is ~free — packing nearly doubled DQN end-to-end)."""
+
+    data: jnp.ndarray   # [cap, 2*obs_dim + act_dim + 2]
     ptr: jnp.ndarray    # int32
     size: jnp.ndarray   # int32
 
@@ -110,11 +111,7 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
         env_state = api.unalias(env_state)
         cap = sac.capacity
         replay = Replay(
-            obs=jnp.zeros((cap, obs_dim), dtype),
-            act=jnp.zeros((cap, act_dim), dtype),
-            rew=jnp.zeros((cap,), dtype),
-            nobs=jnp.zeros((cap, obs_dim), dtype),
-            done=jnp.zeros((cap,), dtype),
+            data=jnp.zeros((cap, 2 * obs_dim + act_dim + 2), dtype),
             ptr=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32))
         log_alpha = jnp.asarray(jnp.log(sac.init_alpha), dtype)
         # copy the target params so they don't alias critic (donation-safe)
@@ -144,24 +141,32 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
         (env_state, obs), traj = jax.lax.scan(body, (env_state, obs), keys)
         return env_state, obs, traj
 
+    def _pack_rows(flat: Batch):
+        return jnp.concatenate([
+            flat.obs, flat.act,
+            flat.rew[:, None], flat.done[:, None],
+            flat.nobs,
+        ], axis=1)
+
+    def _unpack_rows(mat) -> Batch:
+        d, a = obs_dim, act_dim
+        return Batch(obs=mat[:, :d], act=mat[:, d:d + a],
+                     rew=mat[:, d + a], done=mat[:, d + a + 1],
+                     nobs=mat[:, d + a + 2:])
+
     def _insert(rp: Replay, traj: Batch) -> Replay:
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
         n = flat.rew.shape[0]
-        idx = (rp.ptr + jnp.arange(n)) % sac.capacity
+        idx = (rp.ptr + jnp.arange(n, dtype=jnp.int32)) % sac.capacity
         return Replay(
-            obs=rp.obs.at[idx].set(flat.obs),
-            act=rp.act.at[idx].set(flat.act),
-            rew=rp.rew.at[idx].set(flat.rew),
-            nobs=rp.nobs.at[idx].set(flat.nobs),
-            done=rp.done.at[idx].set(flat.done),
+            data=rp.data.at[idx].set(_pack_rows(flat)),  # ONE wide scatter
             ptr=(rp.ptr + n) % sac.capacity,
             size=jnp.minimum(rp.size + n, sac.capacity))
 
     def _sample(rp: Replay, key) -> Batch:
         idx = jax.random.randint(key, (sac.batch_size,), 0,
-                                 jnp.maximum(rp.size, 1))
-        return Batch(rp.obs[idx], rp.act[idx], rp.rew[idx], rp.nobs[idx],
-                     rp.done[idx])
+                                 jnp.maximum(rp.size, 1), dtype=jnp.int32)
+        return _unpack_rows(rp.data[idx])                # ONE wide gather
 
     def _update_once(carry, key):
         actor, critic, critic_tgt, log_alpha, oa, oc, oal, rp = carry
