@@ -131,7 +131,10 @@ class PVDERVectorEnv(_VBASE):
 
     def __init__(self, num_envs: int, preset: str = "10", seed: int = 0,
                  cfg: core.EnvConfig | None = None, window: str = "auto",
-                 block: int = 4096, **cfg_kw):
+                 block: int = 4096, mesh=None, **cfg_kw):
+        """mesh: optional `jax.sharding.Mesh` with an 'env' axis — routes the
+        window kernel through `jax.shard_map` so each chip runs it on its
+        local batch shard (pvderx/env/vector.py multi-chip contract)."""
         from functools import partial
 
         from pvderx.env import vector
@@ -152,7 +155,7 @@ class PVDERVectorEnv(_VBASE):
         def _step(state, actions):
             st1, obs_f, rew, done, info = vector._step_batch_impl(
                 cfg_, state, actions, window=window, block=block,
-                autoreset=False)
+                autoreset=False, mesh=mesh)
             st_r, obs_r = jax.vmap(lambda s: core._soft_reset(cfg_, s))(st1)
             st2 = jax.tree.map(partial(vector._where_done, done), st_r, st1)
             obs2 = vector._where_done(done, obs_r, obs_f)
