@@ -293,14 +293,21 @@ def check_linearity(double_thunk, best_single: float):
     milliseconds). Accepts 1.5x-2.7x to leave room for host-load noise.
     Returns (status, ratio).
     """
-    t0 = time.perf_counter()
-    out = double_thunk()
-    float(out)  # host fetch of a scalar derived from BOTH chunks
-    t_double = time.perf_counter() - t0
-    ratio = t_double / best_single
-    status = "PASS" if 1.5 <= ratio <= 2.7 else "FAIL"
-    log(f"sync linearity: 2-chunk/1-chunk = {t_double:.3f}s/{best_single:.3f}s"
-        f" = {ratio:.2f}x -> {status}")
+    for attempt in (1, 2):
+        t0 = time.perf_counter()
+        out = double_thunk()
+        float(out)  # host fetch of a scalar derived from BOTH chunks
+        t_double = time.perf_counter() - t0
+        ratio = t_double / best_single
+        status = "PASS" if 1.5 <= ratio <= 2.7 else "FAIL"
+        log(f"sync linearity: 2-chunk/1-chunk = "
+            f"{t_double:.3f}s/{best_single:.3f}s = {ratio:.2f}x -> {status}")
+        if status == "PASS" or attempt == 2:
+            return status, ratio
+        # one retry: the remote tunnel occasionally hiccups for a single
+        # region (observed a 33x outlier followed by clean 1.99x); a real
+        # sync bug fails BOTH attempts
+        log("sync linearity: retrying once (transient tunnel hiccup?)")
     return status, ratio
 
 
