@@ -159,11 +159,14 @@ def rk4_fleet_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, m: int,
     y: [N, M, n_states]; t0: [N]; p_pack: [n_p, N, M]; u_pack: [n_u, N, M].
     Returns y1 [N, M, n_states]. Same tiling rules as rk4_window_batch;
     default block is smaller because VMEM holds M copies of every field —
-    at M=16 block=1024 is the v5e ceiling (block=2048 exceeds the 16 MiB
-    scoped-vmem limit by ~0.75 MiB). Throughput wants N >= block: N=512
-    compiles (rows=4) but every VPU op runs a half-filled 8x128 vreg and the
-    grid is 1 (no DMA/compute overlap) — measured 862k env-steps/s vs 1.76M
-    at N=1024 and 1.92M at N=4096 (n_sub=72, M=16, v5e).
+    at M=16 block=1024 needs ~16.2 MiB with the Kahan compensation carry
+    (one extra [n_s, M, R, 128] block), so the kernel requests a 24 MiB
+    scoped-vmem cap (v5e has 128 MiB physical; block=2048 still fails to
+    compile even at the raised cap — measured r04 — and historically bought
+    only ~5%). Throughput wants N >= block: N=512 compiles (rows=4) but
+    every VPU op runs a half-filled 8x128 vreg and the grid is 1 (no
+    DMA/compute overlap) — measured 862k env-steps/s vs 1.76M at N=1024
+    (n_sub=72); the r04 record is 2.04M at N=4096/n_sub=64.
     """
     n, m_, n_s = y.shape
     assert m_ == m
