@@ -452,19 +452,25 @@ def main():
         acc_gate = "SKIPPED"
         bound = F32_ERR_BOUND[args.preset]
         if not args.no_accuracy:
-            # measured at the SAME n_sub the throughput ran with — the gate
-            # must certify the configuration that produced the headline; the
-            # fleet config gates the fused FLEET kernel against the coupled
-            # fleet LSODA truth
+            # measured at the SAME n_sub (and, for fleet, the SAME M) the
+            # throughput ran with — the gate must certify the configuration
+            # that produced the headline; the fleet config gates the fused
+            # FLEET kernel against the coupled fleet LSODA truth
             if fleet_m is not None:
+                # n_steps=36 keeps the M=16 coupled-LSODA truth (~1-3 s per
+                # window) inside a ~90 s budget; 12 windows per regime still
+                # reaches the mid-sag quasi-equilibrium where the error peaks
                 max_err_f32 = measure_f32_accuracy_fleet(
-                    args.preset, n_sub=args.n_sub)
+                    args.preset, m=fleet_m, n_sub=args.n_sub, n_steps=36)
             else:
                 max_err_f32 = measure_f32_accuracy(args.preset,
                                                    n_sub=args.n_sub)
-            acc_gate = "PASS" if max_err_f32 <= bound else "FAIL"
-            log(f"f32 accuracy gate: {max_err_f32:.3e} <= {bound:.1e} "
-                f"-> {acc_gate}")
+            if max_err_f32 is None:   # kernel path unavailable (CPU backend)
+                acc_gate = "SKIPPED"
+            else:
+                acc_gate = "PASS" if max_err_f32 <= bound else "FAIL"
+                log(f"f32 accuracy gate: {max_err_f32:.3e} <= {bound:.1e} "
+                    f"-> {acc_gate}")
         gates = {"sync_linearity": sync_gate, "f32_accuracy": acc_gate}
         overall = "FAIL" if "FAIL" in gates.values() else "PASS"
         print(json.dumps({

@@ -37,13 +37,21 @@ _LAZY = {
     "SimulationResults": ("pvderx.diag.plots", "SimulationResults"),
 }
 
+# submodules resolvable as attributes (`pvderx.env.make_env_config(...)` is
+# the documented MIGRATION surface; before registration went string-based,
+# the eager gym_adapter import bound pvderx.env as a side effect)
+_LAZY_MODULES = ("env", "sim", "scenario", "ode", "physics", "oracle",
+                 "learn", "dist", "diag", "utils", "native", "config")
+
 
 def __getattr__(name):
-    if name in _LAZY:
-        import importlib
+    import importlib
 
+    if name in _LAZY:
         mod, attr = _LAZY[name]
         return getattr(importlib.import_module(mod), attr)
+    if name in _LAZY_MODULES:
+        return importlib.import_module(f"pvderx.{name}")
     raise AttributeError(f"module 'pvderx' has no attribute {name!r}")
 
 

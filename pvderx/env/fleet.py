@@ -260,6 +260,12 @@ def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
         window = "scan"
     n = state.y.shape[0]
     n_loc = _local_envs(n, mesh)
+    if n_loc is None:
+        if window == "pallas":
+            raise ValueError(
+                f"window='pallas' with mesh needs N={n} divisible by the "
+                f"'env' shard count (each shard runs the kernel locally)")
+        window, n_loc = "scan", n
     if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_fleet_window_batch)

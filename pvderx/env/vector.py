@@ -63,14 +63,19 @@ def _use_pallas(window: str, n: int, block: int) -> bool:
     return tilable and jax.default_backend() not in ("cpu",)
 
 
-def _local_envs(n: int, mesh) -> int:
-    """Per-shard env count under the mesh's 'env' axis (n if no mesh)."""
+def _local_envs(n: int, mesh) -> int | None:
+    """Per-shard env count under the mesh's 'env' axis (n if no mesh).
+
+    Returns None when N does not divide across the env shards — the caller
+    falls back to the scan path (window='auto') or raises (window='pallas');
+    a non-divisible batch is only a constraint for the per-shard KERNEL, not
+    for GSPMD-partitioned scan stepping."""
     if mesh is None:
         return n
     from pvderx.dist.mesh import ENV_AXIS
     n_sh = mesh.shape[ENV_AXIS]
     if n % n_sh:
-        raise ValueError(f"N={n} not divisible by {n_sh} env shards")
+        return None
     return n // n_sh
 
 
@@ -104,6 +109,12 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
         window = "scan"
     n = state.y.shape[0]
     n_loc = _local_envs(n, mesh)
+    if n_loc is None:
+        if window == "pallas":
+            raise ValueError(
+                f"window='pallas' with mesh needs N={n} divisible by the "
+                f"'env' shard count (each shard runs the kernel locally)")
+        window, n_loc = "scan", n
     if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch)
@@ -172,8 +183,8 @@ def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
     # instead of re-stacking 27 [N] fields in every step's body
     p_pack = None
     n_loc = _local_envs(state.y.shape[0], mesh)
-    if cfg.integrator == "rk4" and _use_pallas(window, n_loc,
-                                               min(block, n_loc)):
+    if (cfg.integrator == "rk4" and n_loc is not None
+            and _use_pallas(window, n_loc, min(block, n_loc))):
         from pvderx.ops.window import P_FIELDS, pack_struct
         p_pack = pack_struct(state.der, P_FIELDS)
 

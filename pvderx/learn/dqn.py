@@ -25,6 +25,9 @@ import optax
 from pvderx._pytree import pytree_dataclass, replace
 from pvderx.env import core as env_core
 from pvderx.learn.nets import QNetwork
+# packed circular buffer shared with SAC; this learner's row layout:
+# [obs(D) | act(f32, exact for small ints) | rew | done | nobs(D)]
+from pvderx.learn.replay import Replay, insert_rows, make_replay, sample_rows
 
 
 @pytree_dataclass(meta=("rollout_len", "n_updates", "batch_size", "capacity",
@@ -49,23 +52,6 @@ class Batch(NamedTuple):
     rew: jnp.ndarray
     nobs: jnp.ndarray
     done: jnp.ndarray
-
-
-@pytree_dataclass
-class Replay:
-    """Circular replay buffer as ONE packed static-shape matrix.
-
-    Row layout: [obs(D) | act | rew | done | nobs(D)], everything riding as
-    the net dtype (the int action column is exact in f32 for small ints,
-    cast back on sample). Same lesson as the PPO minibatch shuffle
-    (learn/ppo.py): k narrow random-row gathers/scatters are index-latency-
-    bound on TPU, one wide-row gather is ~free — packing the buffer cut the
-    DQN update phase measurably (see PARITY.md learner table).
-    """
-
-    data: jnp.ndarray   # [cap, 2*obs_dim + 3]
-    ptr: jnp.ndarray    # int32
-    size: jnp.ndarray   # int32
 
 
 @pytree_dataclass
@@ -103,10 +89,7 @@ def make_dqn(env_cfg, dqn: DQNConfig,
         env_state, obs = api.reset_batch(k_env, n_envs)
         # break the cached-initial-buffer aliases from reset (donation-safe)
         env_state = api.unalias(env_state)
-        cap = dqn.capacity
-        replay = Replay(
-            data=jnp.zeros((cap, 2 * api.obs_dim + 3), dtype),
-            ptr=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32))
+        replay = make_replay(dqn.capacity, 2 * api.obs_dim + 3, dtype)
         params_tgt = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         return DQNRunner(params=params, params_tgt=params_tgt,
                          opt_state=tx.init(params), replay=replay,
@@ -158,19 +141,10 @@ def make_dqn(env_cfg, dqn: DQNConfig,
 
     def _insert(rp: Replay, traj: Batch) -> Replay:
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
-        n = flat.rew.shape[0]
-        # int32 throughout: an int64 scatter index into int32-indexed buffers
-        # warns (and will error) under strict promotion when x64 is on
-        idx = (rp.ptr + jnp.arange(n, dtype=jnp.int32)) % dqn.capacity
-        return Replay(
-            data=rp.data.at[idx].set(_pack_rows(flat)),  # ONE wide scatter
-            ptr=(rp.ptr + n) % dqn.capacity,
-            size=jnp.minimum(rp.size + n, dqn.capacity))
+        return insert_rows(rp, _pack_rows(flat), dqn.capacity)
 
     def _sample(rp: Replay, key) -> Batch:
-        idx = jax.random.randint(key, (dqn.batch_size,), 0,
-                                 jnp.maximum(rp.size, 1), dtype=jnp.int32)
-        return _unpack_rows(rp.data[idx])                # ONE wide gather
+        return _unpack_rows(sample_rows(rp, key, dqn.batch_size))
 
     def _update_once(carry, key):
         params, params_tgt, opt_state, rp = carry

@@ -21,6 +21,9 @@ import optax
 
 from pvderx._pytree import pytree_dataclass, replace
 from pvderx.env import core as env_core
+# packed circular buffer shared with DQN; this learner's row layout:
+# [obs(D) | act(A) | rew | done | nobs(D)]
+from pvderx.learn.replay import Replay, insert_rows, make_replay, sample_rows
 from pvderx.learn.nets import DoubleCritic, TanhGaussianActor
 
 
@@ -43,20 +46,6 @@ class Batch(NamedTuple):
     rew: jnp.ndarray
     nobs: jnp.ndarray
     done: jnp.ndarray
-
-
-@pytree_dataclass
-class Replay:
-    """Circular replay buffer as ONE packed static-shape matrix.
-
-    Row layout: [obs(D) | act(A) | rew | done | nobs(D)]. Same wide-row
-    gather/scatter design as the DQN replay and the PPO minibatch shuffle
-    (k narrow random-row gathers are index-latency-bound on TPU; one packed
-    gather is ~free — packing nearly doubled DQN end-to-end)."""
-
-    data: jnp.ndarray   # [cap, 2*obs_dim + act_dim + 2]
-    ptr: jnp.ndarray    # int32
-    size: jnp.ndarray   # int32
 
 
 @pytree_dataclass
@@ -110,9 +99,7 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
         # break the cached-initial-buffer aliases from reset (donation-safe)
         env_state = api.unalias(env_state)
         cap = sac.capacity
-        replay = Replay(
-            data=jnp.zeros((cap, 2 * obs_dim + act_dim + 2), dtype),
-            ptr=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32))
+        replay = make_replay(cap, 2 * obs_dim + act_dim + 2, dtype)
         log_alpha = jnp.asarray(jnp.log(sac.init_alpha), dtype)
         # copy the target params so they don't alias critic (donation-safe)
         critic_tgt = jax.tree.map(lambda x: jnp.array(x, copy=True), critic)
@@ -156,17 +143,10 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
 
     def _insert(rp: Replay, traj: Batch) -> Replay:
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
-        n = flat.rew.shape[0]
-        idx = (rp.ptr + jnp.arange(n, dtype=jnp.int32)) % sac.capacity
-        return Replay(
-            data=rp.data.at[idx].set(_pack_rows(flat)),  # ONE wide scatter
-            ptr=(rp.ptr + n) % sac.capacity,
-            size=jnp.minimum(rp.size + n, sac.capacity))
+        return insert_rows(rp, _pack_rows(flat), sac.capacity)
 
     def _sample(rp: Replay, key) -> Batch:
-        idx = jax.random.randint(key, (sac.batch_size,), 0,
-                                 jnp.maximum(rp.size, 1), dtype=jnp.int32)
-        return _unpack_rows(rp.data[idx])                # ONE wide gather
+        return _unpack_rows(sample_rows(rp, key, sac.batch_size))
 
     def _update_once(carry, key):
         actor, critic, critic_tgt, log_alpha, oa, oc, oal, rp = carry

@@ -108,8 +108,7 @@ _SLOW = {
     "test_check_env_all_variants[continuous]",
     "test_env_unbalanced_sag_episode",  # the unbalanced LSODA gate stays fast
     "test_rhs_jacobian_matches_finite_differences[50]",  # [10] stays fast
-    "test_shard_mapped_kernel_path_8way",  # also exercised by the dryrun
-    "test_shard_mapped_kernel_on_2d_mesh",
+    "test_shard_mapped_kernel_on_2d_mesh",  # 1-D single-DER twin stays fast
     "test_independent_oracle_random_scenarios[0]",  # trip episode stays fast
     "test_gymnasium_adapter",  # check_env conformance tests stay fast
     "test_rk4_matches_lsoda_deep_sag[50-120]",  # 3-φ LSODA cover: unbalanced
