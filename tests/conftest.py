@@ -88,6 +88,7 @@ _SLOW = {
     "test_independent_oracle_features[mppt]",
     "test_independent_oracle_features[anomaly]",
     "test_independent_oracle_three_phase",
+    "test_independent_oracle_unbalanced_sag",
     "test_independent_oracle_continuous_actions",
     "test_independent_oracle_fleet",
     "test_independent_oracle_fleet_features[s_jitter]",

@@ -90,6 +90,19 @@ def test_independent_oracle_three_phase():
     _compare_episode(cfg, 11)
 
 
+def test_independent_oracle_unbalanced_sag():
+    """Three-phase UNBALANCED sag (negative-sequence event columns v_g2/
+    phi_g2 through the independent event lookup). Measured 3.0e-8 obs /
+    1.4e-8 rewards."""
+    scen = core.ScenarioConfig(
+        p_sag=1.0, p_freq=0.0, p_unb=1.0, unb_frac=0.6,
+        sag_depth_lo=0.5, sag_depth_hi=0.7,
+        sag_t_lo=0.2, sag_t_hi=0.3, sag_dur_lo=0.2, sag_dur_hi=0.3)
+    cfg = core.make_env_config("50", dtype=jnp.float64, n_sub=120, horizon=40,
+                               scen=scen)
+    _compare_episode(cfg, 17)
+
+
 def test_independent_oracle_continuous_actions():
     """The continuous Box(2) extension: per-step deltas scaled by the (out-of
     -range, so clipped) action vector, recomputed independently."""
