@@ -14,7 +14,7 @@ from pvderx.ops.window import (P_FIELDS, U_FIELDS, pack_struct,
 from pvderx.env import core
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-NSUB = 72
+NSUB = 64
 CHUNK = 480
 
 cfg = make_env_config("10", dtype=jnp.float32, n_sub=NSUB)

@@ -80,3 +80,29 @@ def test_dqn_updates_params_and_stays_finite(cfg):
     changed = jax.tree.map(
         lambda a, b: not np.array_equal(a, np.asarray(b)), p0, runner.params)
     assert all(jax.tree.leaves(changed))
+
+
+def test_packed_replay_roundtrip_and_wrap():
+    """Direct unit test of the shared packed buffer (pvderx/learn/replay.py):
+    packed rows come back bitwise on sample; circular writes wrap."""
+    import numpy as np
+
+    from pvderx.learn.replay import insert_rows, make_replay, sample_rows
+
+    rp = make_replay(8, 5, jnp.float32)
+    rows1 = jnp.arange(30, dtype=jnp.float32).reshape(6, 5)
+    rp = insert_rows(rp, rows1, 8)
+    assert int(rp.ptr) == 6 and int(rp.size) == 6
+    # sample with size=6: indices in [0, 6); gathered rows must be the
+    # inserted rows bitwise
+    got = np.asarray(sample_rows(rp, jax.random.PRNGKey(0), 16))
+    assert all(any(np.array_equal(g, r) for r in np.asarray(rows1))
+               for g in got)
+    # wrap: 4 more rows overwrite slots 6,7,0,1
+    rows2 = 100.0 + jnp.arange(20, dtype=jnp.float32).reshape(4, 5)
+    rp = insert_rows(rp, rows2, 8)
+    assert int(rp.ptr) == 2 and int(rp.size) == 8
+    data = np.asarray(rp.data)
+    assert np.array_equal(data[6], np.asarray(rows2)[0])
+    assert np.array_equal(data[0], np.asarray(rows2)[2])
+    assert np.array_equal(data[2], np.asarray(rows1)[2])  # untouched slot
