@@ -11,11 +11,12 @@ interchangeable implementations:
               any backend/batch size; each substep round-trips HBM.
 - ``pallas``: the fused VMEM-resident window kernel (pvderx/ops/window.py) —
               one HBM read/write per *window* instead of per substep;
-              0.99 ms/window at 32k envs / n_sub=72 on a v5e (~20x the XLA
-              per-substep scan path), ~0.42 ns per env-substep ≈ 1 VPU
-              op/cycle — the kernel is 92% of the traced step time, all
-              remaining XLA ops (obs/reward/events/autoreset) total ~8%
-              (diag.profiler.device_op_summary, round 2).
+              1.01 ms/window at 32k envs / n_sub=64 (the f32 knee) on a v5e
+              (~20x the XLA per-substep scan path), ~0.48 ns per
+              env-substep ≈ 1 VPU op/cycle-lane — the kernel is 93% of the
+              step, all remaining XLA ops (obs/reward/events/autoreset)
+              total 6.8% (benchmarks/kernel_split.py, round 4,
+              scalar-fetch-synced).
 
 ``window="auto"`` picks pallas on TPU backends when the batch tiles legally.
 Both paths share the identical `rhs_core` physics and agree to f32 roundoff
