@@ -80,6 +80,21 @@ def _local_envs(n: int, mesh) -> int | None:
     return n // n_sh
 
 
+def _warn_scan_fallback(n: int, mesh) -> None:
+    """Loud warning when window='auto' skips the kernel because the batch
+    doesn't divide across the mesh's env shards — the scan path is ~20x
+    slower, which must never happen silently."""
+    import warnings
+
+    from pvderx.dist.mesh import ENV_AXIS
+    warnings.warn(
+        f"mesh batch N={n} does not divide across the "
+        f"{mesh.shape[ENV_AXIS]} 'env' shards: falling back to the ~20x "
+        f"slower scan path (pick N as a multiple of "
+        f"{128 * mesh.shape[ENV_AXIS]} for the per-shard Pallas kernel)",
+        stacklevel=3)
+
+
 def _shard_mapped_window(kern, mesh, n_args_rank2):
     """Wrap a window-kernel call in shard_map over the mesh 'env' axis.
 
@@ -115,6 +130,7 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
             raise ValueError(
                 f"window='pallas' with mesh needs N={n} divisible by the "
                 f"'env' shard count (each shard runs the kernel locally)")
+        _warn_scan_fallback(n, mesh)
         window, n_loc = "scan", n
     if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import (

@@ -141,7 +141,7 @@ def make_dqn(env_cfg, dqn: DQNConfig,
 
     def _insert(rp: Replay, traj: Batch) -> Replay:
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
-        return insert_rows(rp, _pack_rows(flat), dqn.capacity)
+        return insert_rows(rp, _pack_rows(flat))
 
     def _sample(rp: Replay, key) -> Batch:
         return _unpack_rows(sample_rows(rp, key, dqn.batch_size))

@@ -33,13 +33,16 @@ def make_replay(capacity: int, row_dim: int, dtype) -> Replay:
                   size=jnp.zeros((), jnp.int32))
 
 
-def insert_rows(rp: Replay, rows: jnp.ndarray, capacity: int) -> Replay:
+def insert_rows(rp: Replay, rows: jnp.ndarray) -> Replay:
     """Circular write of [n, row_dim] packed rows (ONE wide scatter).
 
-    int32 index arithmetic throughout: an int64 scatter index into
-    int32-indexed buffers warns (and will error) under strict promotion
-    when x64 is on.
+    Capacity is the buffer's own leading dimension — no separate parameter
+    to get out of sync with it (a mismatched value would silently drop
+    scatters under JAX's out-of-bounds semantics). int32 index arithmetic
+    throughout: an int64 scatter index into int32-indexed buffers warns
+    (and will error) under strict promotion when x64 is on.
     """
+    capacity = rp.data.shape[0]
     n = rows.shape[0]
     idx = (rp.ptr + jnp.arange(n, dtype=jnp.int32)) % capacity
     return Replay(data=rp.data.at[idx].set(rows),

@@ -143,7 +143,7 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
 
     def _insert(rp: Replay, traj: Batch) -> Replay:
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
-        return insert_rows(rp, _pack_rows(flat), sac.capacity)
+        return insert_rows(rp, _pack_rows(flat))
 
     def _sample(rp: Replay, key) -> Batch:
         return _unpack_rows(sample_rows(rp, key, sac.batch_size))

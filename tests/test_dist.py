@@ -208,6 +208,40 @@ def test_shard_mapped_kernel_on_2d_mesh(cfg):
     np.testing.assert_array_equal(np.asarray(d_sm), np.asarray(d_ref))
 
 
+def test_mesh_non_divisible_batch_fallback(cfg):
+    """A batch that doesn't divide across the env shards: window='auto'
+    falls back to the scan path with a LOUD warning (the kernel is ~20x
+    faster — silence would hide the cliff); window='pallas' raises."""
+    import warnings
+
+    from pvderx.env.fleet import make_fleet_batch_fns, make_fleet_config
+
+    mesh = make_mesh(8)
+    N = 12  # 12 % 8 != 0
+    rb, sb = make_batch_fns(cfg, donate=False, window="auto", mesh=mesh)
+    st, obs = rb(jax.random.split(jax.random.PRNGKey(30), N))
+    with pytest.warns(UserWarning, match="falling back"):
+        st1, o1, r1, d1, _ = sb(st, jnp.zeros((N,), jnp.int32))
+    assert np.isfinite(np.asarray(o1)).all()
+
+    _, sb_p = make_batch_fns(cfg, donate=False, window="pallas", block=128,
+                             mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        sb_p(st, jnp.zeros((N,), jnp.int32))
+
+    # fleet twin of both branches
+    fc = make_fleet_config("10", m=2, n_sub=40, horizon=16)
+    frb, fsb = make_fleet_batch_fns(fc, donate=False, window="auto",
+                                    mesh=mesh)
+    fst, fobs = frb(jax.random.split(jax.random.PRNGKey(31), N))
+    with pytest.warns(UserWarning, match="falling back"):
+        fsb(fst, jnp.zeros((N,), jnp.int32))
+    _, fsb_p = make_fleet_batch_fns(fc, donate=False, window="pallas",
+                                    block=128, mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        fsb_p(fst, jnp.zeros((N,), jnp.int32))
+
+
 def test_shard_mapped_fleet_kernel_8way():
     """Same structural guarantee for the rank-4 fleet kernel: shard_map over
     'env' with M units per env riding along unsharded."""

@@ -91,7 +91,7 @@ def test_packed_replay_roundtrip_and_wrap():
 
     rp = make_replay(8, 5, jnp.float32)
     rows1 = jnp.arange(30, dtype=jnp.float32).reshape(6, 5)
-    rp = insert_rows(rp, rows1, 8)
+    rp = insert_rows(rp, rows1)
     assert int(rp.ptr) == 6 and int(rp.size) == 6
     # sample with size=6: indices in [0, 6); gathered rows must be the
     # inserted rows bitwise
@@ -100,7 +100,7 @@ def test_packed_replay_roundtrip_and_wrap():
                for g in got)
     # wrap: 4 more rows overwrite slots 6,7,0,1
     rows2 = 100.0 + jnp.arange(20, dtype=jnp.float32).reshape(4, 5)
-    rp = insert_rows(rp, rows2, 8)
+    rp = insert_rows(rp, rows2)
     assert int(rp.ptr) == 2 and int(rp.size) == 8
     data = np.asarray(rp.data)
     assert np.array_equal(data[6], np.asarray(rows2)[0])
