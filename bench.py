@@ -473,6 +473,19 @@ def main():
                     f"-> {acc_gate}")
         gates = {"sync_linearity": sync_gate, "f32_accuracy": acc_gate}
         overall = "FAIL" if "FAIL" in gates.values() else "PASS"
+        # roofline utilization of the measured headline (benchmarks/roofline.py
+        # is the full artifact: analytic op count cross-checked 1.00x against
+        # XLA cost_analysis, v5e ceilings quoted there). vpu_util is a LOWER
+        # bound (1 issue/op; transcendentals/divides take several passes) and
+        # counts only kernel math — env glue (~7% of the step) is excluded.
+        from pvderx.diag import roofline
+        util = roofline.vpu_utilization(
+            rate, n_sub=args.n_sub, n_ph=1 if args.preset == "10" else 3,
+            m=fleet_m or 1)
+        log(f"roofline: {util['kernel_ops_per_s'] / 1e12:.2f} T VPU ops/s = "
+            f"{util['vpu_util'] * 100:.1f}% of the v5e issue ceiling "
+            f"(weighted {util['vpu_util_weighted'] * 100:.1f}%), "
+            f"HBM {util['hbm_util'] * 100:.2f}% -> compute-bound")
         print(json.dumps({
             "metric": "env_steps_per_s",
             "value": round(rate, 1),
@@ -484,6 +497,17 @@ def main():
             "sync_linearity_ratio": round(sync_ratio, 2),
             "max_abs_err_f32": max_err_f32,
             "f32_err_bound": bound,
+            "vpu_util": round(util["vpu_util"], 3),
+            "roofline": {
+                "vpu_util": round(util["vpu_util"], 4),
+                "vpu_util_weighted": round(util["vpu_util_weighted"], 4),
+                "kernel_ops_per_s": round(util["kernel_ops_per_s"]),
+                "ops_per_substep_per_der": util["ops_per_substep_per_der"],
+                "vpu_issue_peak_per_s": util["vpu_issue_peak_per_s"],
+                "hbm_util": round(util["hbm_util"], 5),
+                "chip": util["chip"],
+                "artifact": "benchmarks/roofline.py (ROOFLINE.json)",
+            },
             **compile_fields,
             "config": {
                 "baseline_config": args.config, "fleet_m": fleet_m,

@@ -12,11 +12,15 @@ interchangeable implementations:
 - ``pallas``: the fused VMEM-resident window kernel (pvderx/ops/window.py) —
               one HBM read/write per *window* instead of per substep;
               1.01 ms/window at 32k envs / n_sub=64 (the f32 knee) on a v5e
-              (~20x the XLA per-substep scan path), ~0.48 ns per
-              env-substep ≈ 1 VPU op/cycle-lane — the kernel is 93% of the
-              step, all remaining XLA ops (obs/reward/events/autoreset)
-              total 6.8% (benchmarks/kernel_split.py, round 4,
-              scalar-fetch-synced).
+              (~20x the XLA per-substep scan path). Roofline (measured,
+              benchmarks/roofline.py round 5): 947 VPU ops per env-substep
+              (analytic jaxpr count, 1.00x vs XLA cost_analysis) at
+              0.46 ns/env-substep kernel-only = 2.06 T ops/s = **53.5% of
+              the v5e VPU issue ceiling** (71% weighting transcendentals at
+              4 passes), HBM at 1.1% — compute-bound at the issue rate, not
+              bandwidth. The kernel is 93% of the step; all remaining XLA
+              ops (obs/reward/events/autoreset) total 6.8%
+              (benchmarks/kernel_split.py, round 4, scalar-fetch-synced).
 
 ``window="auto"`` picks pallas on TPU backends when the batch tiles legally.
 Both paths share the identical `rhs_core` physics and agree to f32 roundoff

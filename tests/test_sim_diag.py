@@ -175,3 +175,31 @@ def test_device_op_summary(tmp_path):
     assert all(ms >= 0 and n >= 1 for _, ms, n in rows)
     with pytest.raises(FileNotFoundError):
         device_op_summary(str(tmp_path / "missing"))
+
+
+def test_roofline_op_count_and_utilization():
+    """The roofline model (diag/roofline.py): the analytic substep op count
+    must classify every primitive (no unclassified ops), stay in the band
+    the round-5 artifact pinned (947 / 2411 for n_ph 1 / 3, cross-checked
+    1.00x vs XLA cost_analysis — benchmarks/ROOFLINE.json), and the
+    utilization arithmetic must be consistent."""
+    from pvderx.diag import roofline
+
+    for n_ph, lo, hi in ((1, 800, 1100), (3, 2000, 2800)):
+        ops = roofline.substep_op_count(n_ph)
+        assert "unclassified" not in ops, ops.get("unclassified")
+        assert lo <= ops["total"] <= hi, (n_ph, ops["total"])
+        assert ops["transcendental"] > 0 and ops["div"] > 0
+        assert ops["total"] == (ops["alu"] + ops["div"]
+                                + ops["transcendental"] + ops["other"])
+
+    util = roofline.vpu_utilization(31.2e6, n_sub=64, n_ph=1)
+    expect = 31.2e6 * 64 * util["ops_per_substep_per_der"]
+    assert abs(util["kernel_ops_per_s"] - expect) < 1.0
+    assert 0.0 < util["vpu_util"] < 1.0
+    assert util["vpu_util_weighted"] > util["vpu_util"]
+    assert util["hbm_util"] < 0.05  # compute-bound by construction
+    # fleet: M DERs multiply the math per env step
+    util_m = roofline.vpu_utilization(2.0e6, n_sub=64, n_ph=1, m=16)
+    assert abs(util_m["kernel_ops_per_s"]
+               - 16 * 2.0e6 / 31.2e6 * util["kernel_ops_per_s"]) < 1e3
