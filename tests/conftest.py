@@ -55,6 +55,7 @@ _SLOW = {
     "test_vector_env_matches_single_env",
     "test_check_env_registered_id",
     "test_fleet_dqn_train_step",
+    "test_dualfloat_window_kernel_interpret",
     "test_replay_wraps_circularly",
     "test_sharded_env_step_matches_single_device",
     "test_dqn_anomaly_head_width",

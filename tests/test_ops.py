@@ -133,3 +133,116 @@ def test_kernel_matches_scan_disconnect_and_cessation():
     i0 = np.hypot(np.asarray(y)[off, 0], np.asarray(y)[off, 1])
     i1 = np.hypot(np.asarray(y_kern)[off, 0], np.asarray(y_kern)[off, 1])
     assert np.all(i1 <= i0 + 1e-6)
+
+
+def test_dualfloat_arithmetic_and_transcendentals():
+    """ops/dualfloat.py (round 5): the two-float32 number type must deliver
+    ~double-precision results through its error-free transforms and
+    range-reduced transcendentals (the basis of the df32 kernel's measured
+    8.9e-7 gate-scenario accuracy, benchmarks/DUALFLOAT.json)."""
+    from pvderx.ops.dualfloat import DF, _exp_df, _lift, _sincos, dfp
+
+    def val(d):
+        return np.float64(np.asarray(d.hi)) + np.float64(np.asarray(d.lo))
+
+    # basic ops vs f64
+    a, b = _lift(0.1), _lift(0.3)
+    assert abs(val(a * b) - 0.03) < 1e-12
+    assert abs(val(a + b) - 0.4) < 1e-12
+    assert abs(val(a / b) - 1.0 / 3.0) < 1e-12
+    assert abs(val(dfp.sqrt(_lift(2.0))) - np.sqrt(2.0)) < 1e-12
+    assert abs(val(_lift(2.0) ** (-1.0 / 16.0)) - 2.0 ** (-1 / 16)) < 1e-12
+    # transcendentals incl. range reduction + quadrants and large exp args
+    for x in (0.01, 0.5, 1.3, 3.9, -2.2, 17.3, 40.0, 100.0, -55.5):
+        s, c = _sincos(_lift(x))
+        assert abs(val(s) - np.sin(np.float64(x))) < 5e-11, ("sin", x)
+        assert abs(val(c) - np.cos(np.float64(x))) < 5e-11, ("cos", x)
+        e = _exp_df(_lift(min(x, 30.0)))
+        assert abs(val(e) / np.exp(np.float64(min(x, 30.0))) - 1) < 2e-11
+    # overflow guard: huge positive arg saturates finite (no inf*0 nan in /)
+    big = _exp_df(_lift(500.0))
+    q = _lift(1.0) / (_lift(1.0) + big)
+    assert np.isfinite(val(q)) and val(q) < 1e-30
+
+
+def test_dualfloat_rhs_matches_f64():
+    """The UNMODIFIED rhs_core evaluated in DF arithmetic must match the f64
+    RHS at the same f32-rounded inputs to ~1e-10 (vs ~2.6e-4 for plain f32 —
+    the arithmetic-noise floor SPEC.md §6 budgets). One set of equations,
+    three precisions."""
+    import dataclasses
+
+    from pvderx.oracle import scipy_ref
+    from pvderx.ops.dualfloat import DF, dfp
+
+    p64 = make_params("10")
+    u64 = nominal_exog()
+    y64 = scipy_ref.steady_state(p64, u64)
+    u_sag = dataclasses.replace(u64, v_g=0.55)
+    p32 = p64.astype(jnp.float32)
+    u32 = u_sag.astype(jnp.float32)
+    y32 = jnp.asarray(np.asarray(y64), jnp.float32)
+
+    pdf = jax.tree.map(lambda v: DF(jnp.asarray(v, jnp.float32)), p32)
+    udf = jax.tree.map(lambda v: DF(jnp.asarray(v, jnp.float32)), u32)
+    rdf = rhs_core.rhs(DF(y32), DF(jnp.float32(0.3)), pdf, udf, dfp)
+    rdf64 = np.asarray(rdf.hi, np.float64) + np.asarray(rdf.lo, np.float64)
+
+    p64r = jax.tree.map(lambda v: np.asarray(v, np.float64), p32)
+    u64r = jax.tree.map(lambda v: np.asarray(v, np.float64), u32)
+    r_truth = rhs_core.rhs(np.asarray(y32, np.float64),
+                           np.float64(np.float32(0.3)), p64r, u64r, np)
+    err = np.abs(rdf64 - r_truth).max()
+    assert err < 1e-9, err
+    # and the plain-f32 evaluation really is ~6 orders worse (the gap the
+    # df32 kernel buys)
+    r32 = rhs_core.rhs(y32, jnp.float32(0.3), p32, u32, jnp)
+    err32 = np.abs(np.asarray(r32, np.float64) - r_truth).max()
+    assert err32 > 1e-5
+
+
+def test_dualfloat_window_kernel_interpret():
+    """The df32 Pallas window kernel (interpret mode) vs an f64 scan of the
+    same window: one 48-substep window (the RK4 stability bound needs
+    n_sub >= 40) must agree to ~5e-8 (the ~4e-11 per-eval df32 noise
+    amplified by the stiff dynamics over 192 RHS evals) — ~50x below the
+    f32-kernel tolerance of test_window_kernel_matches_scan."""
+    from pvderx.ops.dualfloat import rk4_window_batch_df
+
+    p = make_params("10")
+    u = nominal_exog()
+    from pvderx.oracle import scipy_ref
+    y0 = scipy_ref.steady_state(p, u)
+    n = 128
+    pf = p.astype(jnp.float32)
+    pb = jax.tree.map(lambda v: jnp.broadcast_to(jnp.asarray(v), (n,)), pf)
+    ub = jax.tree.map(
+        lambda v: jnp.full((n,), v, jnp.float32), u.astype(jnp.float32))
+    y_hi = jnp.broadcast_to(jnp.asarray(y0, jnp.float32), (n, p.n_states))
+    y_lo = jnp.zeros_like(y_hi)
+    dt = 1.0 / 60.0
+    hi, lo = rk4_window_batch_df(
+        y_hi, y_lo, jnp.zeros((n,), jnp.float32), pack_struct(pb, P_FIELDS),
+        pack_struct(ub, U_FIELDS), n_ph=1, n_sub=48, dt=dt, block=n,
+        interpret=True)
+    got = np.asarray(hi[0], np.float64) + np.asarray(lo[0], np.float64)
+
+    # f64 truth: same fixed-step RK4 at f32-rounded inputs
+    p64r = jax.tree.map(lambda v: np.asarray(v, np.float64), pf)
+    u64r = jax.tree.map(
+        lambda v: np.float64(np.float32(v)), u.astype(jnp.float32))
+    y64 = np.asarray(y_hi[0], np.float64)
+    h = np.float64(dt) / 48
+
+    def f(yy, tt):
+        return rhs_core.rhs(yy, tt, p64r, u64r, np)
+
+    y = y64
+    for k in range(48):
+        t = k * h
+        k1 = f(y, t)
+        k2 = f(y + 0.5 * h * k1, t + 0.5 * h)
+        k3 = f(y + 0.5 * h * k2, t + 0.5 * h)
+        k4 = f(y + h * k3, t + h)
+        y = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    assert np.abs(got - y).max() < 5e-8, np.abs(got - y).max()
