@@ -33,16 +33,22 @@ def force_sync(tree) -> float:
     """Block until `tree`'s computation has ACTUALLY executed; return a value
     derived from it.
 
-    Dispatches a scalar reduction of the first leaf and fetches it to the
-    host. A host fetch cannot complete before everything upstream of the leaf
-    has run, so this is a true barrier even on platforms where
-    `jax.block_until_ready` returns immediately on not-yet-executed arrays
-    (the axon remote-TPU tunnel does exactly that — see module docstring).
-    The returned float also defeats any dead-code elimination of the timed
-    computation.
+    Dispatches a scalar reduction over EVERY leaf and fetches the combined
+    scalar to the host. A host fetch cannot complete before everything
+    upstream of the fetched value has run, so this is a true barrier even on
+    platforms where `jax.block_until_ready` returns immediately on
+    not-yet-executed arrays (the axon remote-TPU tunnel does exactly that —
+    see module docstring). All leaves participate (round-5 advice): a
+    first-leaf-only fetch would not cover leaves produced by a DIFFERENT
+    dispatch or stream. The returned float also defeats any dead-code
+    elimination of the timed computation (it may be inf/nan when the tree
+    contains sentinel values, e.g. event tables — still a valid barrier).
     """
-    leaf = jax.tree.leaves(tree)[0]
-    return float(jnp.sum(leaf))
+    acc = None
+    for leaf in jax.tree.leaves(tree):
+        s = jnp.sum(leaf).astype(jnp.float32)
+        acc = s if acc is None else acc + s
+    return float(acc)
 
 
 @contextlib.contextmanager

@@ -131,7 +131,7 @@ def _place_opt_state(opt_state, params, mesh: Mesh):
     return place(opt_state)
 
 
-def shard_runner_tp(runner, mesh: Mesh,
+def shard_runner_tp(runner, mesh: Mesh, *,
                     env_fields=("env_state", "obs", "replay")):
     """Place a learner runner on a 2-D ('env','model') mesh.
 

@@ -266,7 +266,9 @@ def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
                 f"window='pallas' with mesh needs N={n} divisible by the "
                 f"'env' shard count (each shard runs the kernel locally)")
         from pvderx.env.vector import _warn_scan_fallback
-        _warn_scan_fallback(n, mesh)
+        if window == "auto":
+            # an explicit window='scan' is not a fallback — don't cry wolf
+            _warn_scan_fallback(n, mesh)
         window, n_loc = "scan", n
     if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import (

@@ -139,7 +139,9 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
             raise ValueError(
                 f"window='pallas' with mesh needs N={n} divisible by the "
                 f"'env' shard count (each shard runs the kernel locally)")
-        _warn_scan_fallback(n, mesh)
+        if window == "auto":
+            # an explicit window='scan' is not a fallback — don't cry wolf
+            _warn_scan_fallback(n, mesh)
         window, n_loc = "scan", n
     if _use_pallas(window, n_loc, min(block, n_loc)):
         from pvderx.ops.window import (

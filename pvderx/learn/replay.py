@@ -44,6 +44,12 @@ def insert_rows(rp: Replay, rows: jnp.ndarray) -> Replay:
     """
     capacity = rp.data.shape[0]
     n = rows.shape[0]
+    # n > capacity would put duplicate indices in one .at[idx].set, whose
+    # write order JAX does not specify — the surviving rows would be
+    # nondeterministic. Static shapes, so a plain trace-time assert suffices.
+    assert n <= capacity, (
+        f"insert_rows: {n} rows > capacity {capacity}; shrink "
+        f"rollout_len*n_envs or grow the buffer")
     idx = (rp.ptr + jnp.arange(n, dtype=jnp.int32)) % capacity
     return Replay(data=rp.data.at[idx].set(rows),
                   ptr=(rp.ptr + n) % capacity,

