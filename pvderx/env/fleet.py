@@ -1,8 +1,24 @@
 """Fleet environment: M inverters per env on a shared feeder (BASELINE cfg 5).
 
-Same contract shape as `pvderx.env.core` (reset/step pure functions, Discrete(5)
-fleet-level action applied to every unit, Box(13) aggregate observation), with
+Same contract shape as `pvderx.env.core` (reset/step pure functions), with
 per-unit ride-through/MPPT state and a coupled steady-state init. SPEC.md §11.
+
+Two control granularities (round 5 added the second — the depth axis the
+round-4 verdict flagged):
+
+- **aggregate** (``per_unit=False``, default): one fleet-level Discrete(5)
+  action applied to every unit; Box(13) aggregate observation (same layout
+  as the single-DER env).
+- **per-unit** (``per_unit=True``): the action is an [M] int32 vector — one
+  Discrete(5) channel per inverter (gym: ``MultiDiscrete([5]*M)``) — and the
+  observation appends a per-unit block to the 13 shared aggregates:
+  ``[13 shared | M× Vdc | M× P_pcc | M× Q_pcc | M× conn]`` (dim 13 + 4M,
+  `fleet_obs_dim`). Physics, events, ride-through and the fused fleet kernel
+  are IDENTICAL in both modes — only the action fan-out (which is already
+  elementwise over [M] setpoints) and the observation head differ. Reward
+  stays the fleet-mean (one cooperative return; per-unit credit assignment
+  is the policy's job), termination stays all-units-offline — partial trips
+  are visible per unit through the conn block.
 """
 from __future__ import annotations
 
@@ -21,14 +37,22 @@ from pvderx.scenario.mppt_voltvar import mppt_update, voltvar_qref
 from pvderx.scenario.ride_through import RideThroughState, rt_update
 
 
-@pytree_dataclass(meta=("m",))
+@pytree_dataclass(meta=("m", "per_unit"))
 class FleetConfig:
     base: EnvConfig
     m: int
+    per_unit: bool = False
 
 
-def make_fleet_config(preset: str = "10", m: int = 16, **kw) -> FleetConfig:
-    return FleetConfig(base=env_core.make_env_config(preset, **kw), m=m)
+def make_fleet_config(preset: str = "10", m: int = 16,
+                      per_unit: bool = False, **kw) -> FleetConfig:
+    return FleetConfig(base=env_core.make_env_config(preset, **kw), m=m,
+                       per_unit=per_unit)
+
+
+def fleet_obs_dim(fc: FleetConfig) -> int:
+    """13 shared aggregates (+ the 4M per-unit block in per-unit mode)."""
+    return OBS_DIM + (4 * fc.m if fc.per_unit else 0)
 
 
 @pytree_dataclass
@@ -118,19 +142,21 @@ def reset(fc: FleetConfig, key):
                     rt=rt, mppt=mppt,
                     key=k_state, init_res=jnp.asarray(res, dtype),
                     y0=y0, s0=s0, tc0=tc0,
-                    obs0=jnp.zeros((OBS_DIM,), dtype),
+                    obs0=jnp.zeros((fleet_obs_dim(fc),), dtype),
                     ppv0=jnp.asarray(g.p_pv, dtype))
     obs = _obs(fc, st, g, fu, jnp.zeros((), dtype))
     return replace(st, obs0=obs), obs
 
 
 def _obs(fc: FleetConfig, st: FleetState, g, fu: Exog, t_next):
-    """Aggregate 13-dim observation (same layout as the single-DER env)."""
+    """Observation: 13 shared aggregates (same layout as the single-DER env);
+    per-unit mode appends [M× Vdc | M× P_pcc | M× Q_pcc | M× conn]
+    (module docstring; dim = fleet_obs_dim(fc))."""
     cfg = fc.base
     dtype = st.y.dtype
     n = cfg.der.n_ph
     conn_frac = jnp.mean(fu.conn)
-    return jnp.stack([
+    agg = jnp.stack([
         jnp.mean(g.i_pos.re), jnp.mean(g.i_pos.im),
         g.v_pos.re[0], g.v_pos.im[0],
         jnp.mean(st.y[:, 6 * n]),
@@ -141,7 +167,11 @@ def _obs(fc: FleetConfig, st: FleetState, g, fu: Exog, t_next):
         10.0 * (jnp.mean(g.f_meas) - 1.0),
         t_next / cfg.horizon,
         conn_frac,
-    ]).astype(dtype)
+    ])
+    if fc.per_unit:
+        agg = jnp.concatenate([
+            agg, st.y[:, 6 * n], g.p_pcc, g.q_pcc, fu.conn])
+    return agg.astype(dtype)
 
 
 def _pre_window(fc: FleetConfig, st: FleetState, action):
@@ -153,6 +183,9 @@ def _pre_window(fc: FleetConfig, st: FleetState, action):
     dtype = st.y.dtype
     dt = jnp.asarray(cfg.dt_ctrl, dtype)
     t = st.t_step.astype(dtype) * dt
+    # aggregate mode: scalar action broadcast to all M setpoint channels;
+    # per-unit mode: [M] actions act elementwise (q_ref/vdc_ref are already
+    # [M] — identical arithmetic either way)
     a = jnp.asarray(action, jnp.int32)
 
     q_ref, vdc_ref = st.q_ref, st.vdc_ref

@@ -215,20 +215,23 @@ class PVDERVectorEnv(_VBASE):
 
 class PVDERFleetEnv(_BASE):
     """Gymnasium adapter for the multi-DER shared-feeder fleet env
-    (BASELINE config 5; `pvderx.env.fleet`): M inverters per episode, one
-    fleet-level Discrete(5) action, aggregate Box(13) observation. The
-    reference has no fleet concept (1 DER per sim, SURVEY.md §2.5) — this is
-    the pvderx extension surface; the batched TPU path is
-    `pvderx.env.fleet.make_fleet_batch_fns`."""
+    (BASELINE config 5; `pvderx.env.fleet`): M inverters per episode.
+    Aggregate mode (default): one fleet-level Discrete(5) action, Box(13)
+    aggregate observation. Per-unit mode (``per_unit=True``, round 5):
+    MultiDiscrete([5]*M) action — one channel per inverter — and
+    Box(13 + 4M) observation with the per-unit [Vdc | P | Q | conn] block
+    (pvderx/env/fleet.py module docstring). The reference has no fleet
+    concept (1 DER per sim, SURVEY.md §2.5) — this is the pvderx extension
+    surface; the batched TPU path is `pvderx.env.fleet.make_fleet_batch_fns`."""
 
     metadata = {"render_modes": ["ansi"]}
 
     def __init__(self, preset: str = "10", m: int = 16, seed: int = 0,
-                 render_mode=None, fc=None, **cfg_kw):
+                 render_mode=None, fc=None, per_unit: bool = False, **cfg_kw):
         from pvderx.env import fleet
 
         self.fc = fc if fc is not None else fleet.make_fleet_config(
-            preset, m=m, **cfg_kw)
+            preset, m=m, per_unit=per_unit, **cfg_kw)
         if self.fc.base.continuous or self.fc.base.anomaly_detect:
             raise ValueError(
                 "the fleet env is Discrete(5)-only: continuous/anomaly_detect "
@@ -241,9 +244,12 @@ class PVDERFleetEnv(_BASE):
         self._last = None
         self.render_mode = render_mode
         if _HAS_GYM:
-            self.action_space = spaces.Discrete(core.N_ACTIONS)
+            from pvderx.env.fleet import fleet_obs_dim
+            self.action_space = (
+                spaces.MultiDiscrete([core.N_ACTIONS] * self.fc.m)
+                if self.fc.per_unit else spaces.Discrete(core.N_ACTIONS))
             self.observation_space = spaces.Box(
-                low=-np.inf, high=np.inf, shape=(core.OBS_DIM,),
+                low=-np.inf, high=np.inf, shape=(fleet_obs_dim(self.fc),),
                 dtype=np.float32)
 
     def reset(self, *, seed=None, options=None):
@@ -258,7 +264,10 @@ class PVDERFleetEnv(_BASE):
                 {"init_res": float(self._state.init_res)})
 
     def step(self, action):
-        a = jnp.asarray(int(action), jnp.int32)
+        if self.fc.per_unit:
+            a = jnp.asarray(np.asarray(action).reshape(self.fc.m), jnp.int32)
+        else:
+            a = jnp.asarray(int(action), jnp.int32)
         self._state, obs, reward, done, info = self._step_fn(self._state, a)
         info_np = {k: np.asarray(v) for k, v in info.items()}
         terminated = bool(info_np.pop("terminated"))

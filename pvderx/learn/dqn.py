@@ -77,6 +77,11 @@ def make_dqn(env_cfg, dqn: DQNConfig,
     from pvderx.learn.env_api import make_env_api
 
     api = make_env_api(env_cfg, mesh=mesh)
+    if api.n_units > 1:
+        raise ValueError(
+            "per-unit fleet control (FleetConfig(per_unit=True)) is "
+            "PPO-only: DQN has no factored-action head — use "
+            "pvderx.learn.make_ppo, or the aggregate fleet mode")
     if api.n_actions == 0:
         raise ValueError("DQN requires a discrete env (continuous=False)")
     n_actions = api.n_actions

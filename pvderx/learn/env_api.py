@@ -34,6 +34,10 @@ class EnvAPI(NamedTuple):
     n_actions: int                           # discrete action count (0 if continuous)
     act_dim: int                             # continuous action dim (0 if discrete)
     obs_dim: int
+    n_units: int = 1                         # action channels per env: 1, or M
+                                             # for the per-unit fleet mode
+                                             # (actions are [N, n_units] ints;
+                                             # the policy factorizes per unit)
 
 
 def make_env_api(env_cfg, *, window: str = "auto", block: int | None = None,
@@ -69,7 +73,8 @@ def make_env_api(env_cfg, *, window: str = "auto", block: int | None = None,
 
         return EnvAPI(reset_batch=reset_batch, step=step, unalias=_unalias,
                       n_actions=env_core.N_ACTIONS, act_dim=0,
-                      obs_dim=env_core.OBS_DIM)
+                      obs_dim=fleet_mod.fleet_obs_dim(env_cfg),
+                      n_units=env_cfg.m if env_cfg.per_unit else 1)
 
     from pvderx.env import vector as vector_mod
 

@@ -75,7 +75,40 @@ def make_ppo(env_cfg, ppo: PPOConfig,
     if api.n_actions == 0:
         raise ValueError("PPO here is discrete-action; got a continuous env "
                          "config (use pvderx.learn.sac for Box actions)")
-    net = ActorCritic(n_actions=api.n_actions, hidden=hidden, dtype=dtype)
+    # per-unit fleet mode (api.n_units = M > 1): the policy FACTORIZES over
+    # units — one (n_actions)-way categorical head per inverter, sampled
+    # independently; the joint log-prob is the per-unit sum. The head is one
+    # Dense of width M*n_actions reshaped [.., M, A] (module docstring of
+    # pvderx/env/fleet.py). M == 1 keeps the exact single-head code path.
+    M = api.n_units
+    net = ActorCritic(n_actions=api.n_actions * M, hidden=hidden, dtype=dtype)
+
+    def _sample(k, logits):
+        """actions + joint logp from the (possibly factored) head."""
+        if M == 1:
+            a = jax.random.categorical(k, logits)
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits), a[:, None], axis=-1)[:, 0]
+            return a, logp
+        lg = logits.reshape(logits.shape[0], M, api.n_actions)
+        a = jax.random.categorical(k, lg)                      # [N, M]
+        lp = jax.nn.log_softmax(lg)
+        logp = jnp.take_along_axis(lp, a[..., None], axis=-1)[..., 0].sum(-1)
+        return a, logp
+
+    def _logp_entropy(logits, action):
+        """joint logp of `action` + policy entropy (summed over units)."""
+        if M == 1:
+            logp_all = jax.nn.log_softmax(logits)
+            logp = jnp.take_along_axis(
+                logp_all, action[:, None], axis=-1)[:, 0]
+            entropy = -(jnp.exp(logp_all) * logp_all).sum(-1)
+            return logp, entropy
+        lg = logits.reshape(logits.shape[0], M, api.n_actions)
+        lp = jax.nn.log_softmax(lg)
+        logp = jnp.take_along_axis(lp, action[..., None], axis=-1)[..., 0]
+        entropy = -(jnp.exp(lp) * lp).sum(-1)
+        return logp.sum(-1), entropy.sum(-1)
     tx = optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
         optax.adam(ppo.lr),
@@ -101,9 +134,7 @@ def make_ppo(env_cfg, ppo: PPOConfig,
         def body(carry, k):
             st, ob = carry
             logits, v = net.apply(params, ob)
-            a = jax.random.categorical(k, logits)
-            logp = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), a[:, None], axis=-1)[:, 0]
+            a, logp = _sample(k, logits)
             st, ob2, r, d, _ = step_env(st, a)
             return (st, ob2), Transition(ob, a, logp, v, r.astype(dtype),
                                          d.astype(dtype))
@@ -126,8 +157,7 @@ def make_ppo(env_cfg, ppo: PPOConfig,
     def _loss(params, batch):
         obs, action, old_logp, old_v, adv, ret = batch
         logits, v = net.apply(params, obs)
-        logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
+        logp, ent = _logp_entropy(logits, action)
         ratio = jnp.exp(logp - old_logp)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
         pg1 = ratio * adv_n
@@ -135,7 +165,7 @@ def make_ppo(env_cfg, ppo: PPOConfig,
         pg_loss = -jnp.minimum(pg1, pg2).mean()
         v_clip = old_v + jnp.clip(v - old_v, -ppo.clip_eps, ppo.clip_eps)
         v_loss = 0.5 * jnp.maximum((v - ret) ** 2, (v_clip - ret) ** 2).mean()
-        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        entropy = ent.mean()
         loss = pg_loss + ppo.vf_coef * v_loss - ppo.ent_coef * entropy
         return loss, (pg_loss, v_loss, entropy)
 
@@ -151,7 +181,7 @@ def make_ppo(env_cfg, ppo: PPOConfig,
         # unpack, so the math is bit-identical to the unpacked form.
         mat = jnp.concatenate([
             traj.obs.reshape(t * n, obs_dim),
-            traj.action.reshape(t * n, 1).astype(dtype),
+            traj.action.reshape(t * n, M).astype(dtype),
             traj.logp.reshape(t * n, 1),
             traj.value.reshape(t * n, 1),
             adv.reshape(t * n, 1),
@@ -165,10 +195,11 @@ def make_ppo(env_cfg, ppo: PPOConfig,
 
             def mb_step(carry, mb):
                 params, opt_state = carry
-                batch = (mb[:, :obs_dim],
-                         mb[:, obs_dim].astype(jnp.int32),
-                         mb[:, obs_dim + 1], mb[:, obs_dim + 2],
-                         mb[:, obs_dim + 3], mb[:, obs_dim + 4])
+                act = (mb[:, obs_dim].astype(jnp.int32) if M == 1 else
+                       mb[:, obs_dim:obs_dim + M].astype(jnp.int32))
+                batch = (mb[:, :obs_dim], act,
+                         mb[:, obs_dim + M], mb[:, obs_dim + M + 1],
+                         mb[:, obs_dim + M + 2], mb[:, obs_dim + M + 3])
                 (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
                     params, batch)
                 updates, opt_state = tx.update(grads, opt_state, params)

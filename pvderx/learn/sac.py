@@ -82,6 +82,11 @@ def make_sac(env_cfg: env_core.EnvConfig, sac: SACConfig,
     from pvderx.learn.env_api import make_env_api
 
     api = make_env_api(env_cfg, mesh=mesh)
+    if api.n_units > 1:
+        raise ValueError(
+            "per-unit fleet control (FleetConfig(per_unit=True)) is "
+            "PPO-only: SAC has no factored-action head — use "
+            "pvderx.learn.make_ppo, or the aggregate fleet mode")
     if api.act_dim == 0:
         raise ValueError("SAC requires make_env_config(..., continuous=True)")
     obs_dim, act_dim = api.obs_dim, api.act_dim

@@ -262,12 +262,14 @@ def _integrate_fleet_window(y, t0, dt, der, fu, rtol, atol):
 def run_fleet_episode_independent(fc, state, actions, rtol=scipy_ref.RTOL,
                                   atol=scipy_ref.ATOL):
     """Independent replay of a FLEET episode (BASELINE config 5 supervisory
-    layer, SPEC.md §11): fleet-level Discrete(5) action applied to every
-    unit, shared event fields with per-unit insolation scaling, per-unit
-    ride-through driven by the common PCC voltage magnitude, common Volt-VAR
-    setpoint from unit 0's PCC voltage, per-unit MPPT, aggregate Box(13)
-    observation and fleet-mean reward, termination when ALL units trip.
-    Same independence rules as `run_episode_independent`.
+    layer, SPEC.md §11): shared event fields with per-unit insolation
+    scaling, per-unit ride-through driven by the common PCC voltage
+    magnitude, common Volt-VAR setpoint from unit 0's PCC voltage, per-unit
+    MPPT, fleet-mean reward, termination when ALL units trip. Two control
+    granularities (pvderx/env/fleet.py docstring): aggregate
+    (actions [T] ints applied fleet-wide, Box(13) obs) and per-unit
+    (fc.per_unit: actions [T, M], obs appends the [M× Vdc | M× P | M× Q |
+    M× conn] block). Same independence rules as `run_episode_independent`.
     """
     import jax
 
@@ -307,16 +309,22 @@ def run_fleet_episode_independent(fc, state, actions, rtol=scipy_ref.RTOL,
             vdc_ref=vdc_ref, q_ref=q_ref, conn=conn, ces=ces,
             p_ref=np.zeros(m))
 
+    per_unit = bool(getattr(fc, "per_unit", False))
     obs_l, rew_l, done_l = [], [], []
     for a in np.asarray(actions):
         t = t_step * dt
-        a = int(a)
-        # 1. fleet-level action -> every unit's setpoints
+        # aggregate: scalar broadcast; per-unit: [M] elementwise — numpy
+        # broadcasting makes the setpoint update below identical code
+        a = np.asarray(a, np.int64) if per_unit else int(a)
+        # 1. action -> per-unit setpoints (eq() handles both the scalar
+        # aggregate action and the per-unit [M] array — numpy bools can't
+        # subtract, floats can)
+        eq = lambda v: np.asarray(a == v, np.float64)
         if not cfg.voltvar_enable:
-            dq = cfg.dq_action * ((a == 1) - (a == 2))
+            dq = cfg.dq_action * (eq(1) - eq(2))
             q_ref = np.clip(q_ref + dq, cfg.q_lo, cfg.q_hi)
         if not cfg.mppt_enable:
-            dv = cfg.dv_action * ((a == 3) - (a == 4))
+            dv = cfg.dv_action * (eq(3) - eq(4))
             vdc_ref = np.clip(vdc_ref + dv, cfg.v_lo, cfg.v_hi)
 
         # 2. supervisory layer at window start
@@ -366,6 +374,9 @@ def run_fleet_episode_independent(fc, state, actions, rtol=scipy_ref.RTOL,
             t_step / horizon,
             np.mean(1.0 - tripped),
         ], np.float64)
+        if per_unit:
+            obs = np.concatenate([
+                obs, y[:, 6 * n_ph], g1.p_pcc, g1.q_pcc, 1.0 - tripped])
         band = max(v_mag1 - 1.05, 0.0) + max(0.95 - v_mag1, 0.0)
         reward = (cfg.r_alive
                   - cfg.w_vdc * abs(float(np.mean(y[:, 6 * n_ph]))

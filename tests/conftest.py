@@ -56,6 +56,9 @@ _SLOW = {
     "test_check_env_registered_id",
     "test_fleet_dqn_train_step",
     "test_dualfloat_window_kernel_interpret",
+    "test_fleet_per_unit_batch_pallas_matches_scan",
+    "test_fleet_per_unit_ppo_train_step",
+    "test_fleet_per_unit_ppo_learns_better_than_uniform",
     "test_replay_wraps_circularly",
     "test_sharded_env_step_matches_single_device",
     "test_dqn_anomaly_head_width",

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 from scipy.integrate import solve_ivp
 
+from pvderx.env import fleet
 from pvderx.env.fleet import make_fleet_config, reset, step, step_autoreset
 from pvderx.ode import rk4_window
 from pvderx.params import make_params, nominal_exog
@@ -215,3 +216,65 @@ def test_fleet_jitter_pallas_matches_scan():
     np.testing.assert_allclose(np.asarray(obs_p), np.asarray(obs_s),
                                rtol=0, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_s))
+
+
+def test_fleet_per_unit_obs_and_divergence():
+    """Per-unit mode (round 5): [M] actions steer each inverter separately —
+    a unit told Vdc+ (action 3) must raise its Vdc setpoint/state while a
+    unit told Vdc- (action 4) lowers it, visible in the per-unit obs block
+    [13 shared | M Vdc | M P | M Q | M conn]."""
+    from pvderx.env.fleet import fleet_obs_dim
+
+    fc = make_fleet_config("10", m=4, n_sub=40, horizon=60, per_unit=True)
+    assert fleet_obs_dim(fc) == 13 + 16
+    st, obs = fleet.reset(fc, jax.random.PRNGKey(3))
+    assert obs.shape == (29,)
+    step = jax.jit(lambda s, a: fleet.step(fc, s, a))
+    acts = jnp.asarray([3, 4, 0, 0], jnp.int32)   # unit0 Vdc+, unit1 Vdc-
+    for _ in range(12):
+        st, obs, r, d, info = step(st, acts)
+    vdc_blk = np.asarray(obs[13:17])
+    assert st.vdc_ref[0] > st.vdc_ref[1] + 0.05   # setpoints diverged
+    assert vdc_blk[0] > vdc_blk[1] + 0.02         # physical Vdc followed
+    assert np.allclose(np.asarray(obs[25:29]), 1.0)   # all connected
+    # aggregate mode is unchanged by the flag machinery
+    fc_agg = make_fleet_config("10", m=4, n_sub=40, horizon=60)
+    _, obs_a = fleet.reset(fc_agg, jax.random.PRNGKey(3))
+    assert obs_a.shape == (13,)
+    np.testing.assert_array_equal(np.asarray(obs_a),
+                                  np.asarray(fleet.reset(fc, jax.random.PRNGKey(3))[1][:13]))
+
+
+def test_fleet_per_unit_batch_pallas_matches_scan():
+    """Per-unit actions through the batched path: the fused fleet kernel and
+    the scan path agree (same physics; actions [N, M])."""
+    fc = make_fleet_config("10", m=4, n_sub=40, horizon=30, per_unit=True)
+    n = 128
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    reset_b = jax.jit(jax.vmap(lambda k: fleet.reset(fc, k)))
+    st, obs = reset_b(keys)
+    acts = jax.random.randint(jax.random.PRNGKey(1), (n, 4), 0, 5)
+    o_p = fleet._step_batch_impl(fc, st, acts, window="pallas", block=n,
+                                 autoreset=True)
+    o_s = fleet._step_batch_impl(fc, st, acts, window="scan", block=n,
+                                 autoreset=True)
+    for a, b in zip(jax.tree.leaves(o_p[:4]), jax.tree.leaves(o_s[:4])):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64), atol=5e-5)
+
+
+def test_fleet_per_unit_ppo_train_step():
+    """The factored PPO head (one Discrete(5) per unit, joint logp = per-unit
+    sum) trains over the per-unit fleet env; DQN/SAC refuse loudly."""
+    from pvderx.learn import DQNConfig, PPOConfig, make_dqn, make_ppo
+
+    fc = make_fleet_config("10", m=4, n_sub=40, horizon=16, per_unit=True)
+    ppo = PPOConfig(rollout_len=2, n_epochs=1, n_minibatch=2)
+    init_runner, train_step, _ = make_ppo(fc, ppo, hidden=(32, 32))
+    runner = init_runner(jax.random.PRNGKey(0), 8)
+    assert runner.obs.shape == (8, 29)
+    runner2, metrics = jax.jit(train_step)(runner)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(runner2.env_state.t_step.sum()) > 0
+    with pytest.raises(ValueError, match="PPO-only"):
+        make_dqn(fc, DQNConfig())

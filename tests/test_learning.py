@@ -98,3 +98,44 @@ def test_sac_learns_better_than_random():
     trained = float(np.mean(rews[-20:]))
     assert trained > random_ret + 0.002, (
         f"SAC did not learn: trained={trained:.4f} random={random_ret:.4f}")
+
+
+def test_fleet_per_unit_ppo_learns_better_than_uniform():
+    """Per-unit fleet control (round 5, FleetConfig(per_unit=True)): the
+    factored PPO head — one Discrete(5) per inverter, joint logp — must
+    learn. Task: sag-heavy scenario with high-authority setpoint deltas
+    (dq=0.1/dv=0.04): a uniform-random per-unit policy walks every unit's
+    setpoints and pays tracking/band penalties (measured 0.0828), holding
+    scores ~0.100, and 100 seeded PPO updates reach 0.0972 — pinned margin
+    0.008 ≈ half the observed gain (deterministic on the CPU backend)."""
+    from pvderx.env.fleet import make_fleet_config
+
+    scen = ScenarioConfig(p_sag=0.9, p_freq=0.1, sag_depth_lo=0.2,
+                          sag_depth_hi=0.85)
+    fc = make_fleet_config("10", m=4, n_sub=40, horizon=50, per_unit=True,
+                           dq_action=0.1, dv_action=0.04, scen=scen)
+    init_runner, train_step, _ = make_ppo(
+        fc, PPOConfig(rollout_len=16, n_epochs=2, n_minibatch=4, lr=3e-3,
+                      ent_coef=0.005), hidden=(32, 32))
+    runner = init_runner(jax.random.PRNGKey(0), 32)
+    ts = jax.jit(train_step, donate_argnums=(0,))
+    rews = []
+    for _ in range(100):
+        runner, m = ts(runner)
+        rews.append(float(m["reward_mean"]))
+
+    api = make_env_api(fc)
+    st, ob = api.reset_batch(jax.random.PRNGKey(0), 32)
+    step = jax.jit(api.step)
+    key = jax.random.PRNGKey(999)
+    tot = []
+    for _ in range(200):
+        key, k = jax.random.split(key)
+        a = jax.random.randint(k, (32, fc.m), 0, 5)
+        st, ob, r, d, _ = step(st, a)
+        tot.append(float(r.mean()))
+    random_ret = float(np.mean(tot))
+    trained = float(np.mean(rews[-10:]))
+    assert trained > random_ret + 0.008, (
+        f"per-unit fleet PPO did not learn: trained={trained:.4f} "
+        f"random={random_ret:.4f}")

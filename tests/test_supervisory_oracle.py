@@ -116,8 +116,10 @@ def _compare_fleet_episode(fc, seed=5):
 
     step = jax.jit(lambda s, a: fleet.step(fc, s, a))
     st, _ = fleet.reset(fc, jax.random.PRNGKey(seed))
+    shape = ((fc.base.horizon, fc.m) if fc.per_unit
+             else (fc.base.horizon,))
     actions = np.asarray(jax.random.randint(
-        jax.random.PRNGKey(seed + 1), (fc.base.horizon,), 0, 5))
+        jax.random.PRNGKey(seed + 1), shape, 0, 5))
     obs_o, rew_o, done_o = supervisory_np.run_fleet_episode_independent(
         fc, st, actions)
     s = st
@@ -144,6 +146,19 @@ def test_independent_oracle_fleet():
 
     fc = make_fleet_config("10", m=4, dtype=jnp.float64, n_sub=120,
                            horizon=40)
+    _compare_fleet_episode(fc)
+
+
+def test_independent_oracle_fleet_per_unit():
+    """Per-unit fleet mode (round 5): [M] actions steering each inverter
+    separately + the per-unit [Vdc|P|Q|conn] obs block, recomputed by the
+    independent oracle — the units genuinely diverge (different setpoint
+    trajectories) and the obs block must track each one."""
+    from pvderx.env.fleet import fleet_obs_dim, make_fleet_config
+
+    fc = make_fleet_config("10", m=4, dtype=jnp.float64, n_sub=120,
+                           horizon=40, per_unit=True)
+    assert fleet_obs_dim(fc) == 13 + 16
     _compare_fleet_episode(fc)
 
 
