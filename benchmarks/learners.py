@@ -57,6 +57,24 @@ def main():
         ppo = PPOConfig(rollout_len=16, n_epochs=4, n_minibatch=4)
         results["ppo"] = bench("ppo", make_ppo, cfg, ppo, 16384,
                                ppo.rollout_len, n_updates=60)
+    if which == "ppo_pareto":
+        # Quality-vs-speed study (round-4 verdict #8): the PPO update phase
+        # is 4 algorithmically-serial minibatch grad+Adam steps per epoch.
+        # Measure the headline (4 epochs x 4 minibatches) against cheaper
+        # points; the learning gates (tests/test_learning.py, n_epochs=2)
+        # are the quality floor. Measured (round 5, v5e + CPU-seeded gates):
+        # (4,4) 7.21M / (2,4) 10.93M / (2,1) 9.03M env-steps/s; gate-task
+        # quality at 60 updates: (2,4) 0.0992, (2,1) 0.0966, random 0.0632
+        # (pinned margin 0.02). Verdict: n_epochs=2/n_minibatch=4 is the
+        # Pareto point (+52% throughput, no quality loss on the gate task);
+        # n_minibatch=1 is strictly worse (one 262k-row minibatch per epoch
+        # runs SLOWER than 4 pipelined 65k ones and learns less).
+        cfg = make_env_config("10", n_sub=64)
+        for ne, nm in ((4, 4), (2, 4), (2, 1)):
+            ppo = PPOConfig(rollout_len=16, n_epochs=ne, n_minibatch=nm)
+            results[f"ppo_e{ne}_m{nm}"] = bench(
+                f"ppo e{ne} m{nm}", make_ppo, cfg, ppo, 16384,
+                ppo.rollout_len, n_updates=60)
     if which in ("dqn", "all"):
         cfg = make_env_config("10", n_sub=64)
         dqn = DQNConfig(rollout_len=4, n_updates=4, batch_size=1024,

@@ -57,6 +57,12 @@ _SLOW = {
     "test_fleet_dqn_train_step",
     "test_dualfloat_window_kernel_interpret",
     "test_fleet_per_unit_batch_pallas_matches_scan",
+    "test_mesh_non_divisible_batch_fallback",
+    "test_env_integrator_vs_oracle",
+    "test_chunked_reset_matches_direct",
+    "test_independent_oracle_fleet_per_unit",
+    "test_shard_mapped_kernel_path_8way",
+    "test_fleet_rk4_matches_lsoda",
     "test_fleet_per_unit_ppo_train_step",
     "test_fleet_per_unit_ppo_learns_better_than_uniform",
     "test_replay_wraps_circularly",

@@ -10,9 +10,14 @@ seed-to-seed slack):
   random ≈ 0.0637, trained last-10 ≈ 0.099 over 3 probe seeds → margin 0.02.
 - DQN on the same env (ε decayed over 80 updates): trained ≈ 0.092-0.094
   → margin 0.012.
-- SAC on a high-authority continuous variant (dq=0.05/dv=0.02 per step, so a
-  random policy damages its own tracking): random ≈ 0.0840, trained ≈ 0.0895
-  → margin 0.002.
+- SAC on a high-authority continuous variant (dq=0.15/dv=0.06 per step, so a
+  random policy damages its own tracking hard): random ≈ 0.0537, trained
+  ≈ 0.0847 over 300 updates → margin 0.015, pinned at ~half the observed
+  0.031 gain (round 5 — the old dq=0.05 gate's 0.002 margin was 2.4%
+  relative, weak evidence; this one is 58% relative).
+- Per-unit fleet PPO (round 5): see
+  test_fleet_per_unit_ppo_learns_better_than_uniform (margin 0.008 of an
+  observed 0.0144).
 
 Everything is seeded; on the CPU test backend the runs are deterministic, so
 these are regression gates, not flaky statistical tests. The RL notebook
@@ -92,11 +97,11 @@ def test_dqn_learns_better_than_random():
 
 def test_sac_learns_better_than_random():
     cfg = make_env_config("10", n_sub=40, horizon=50, continuous=True,
-                          dq_action=0.05, dv_action=0.02)
+                          dq_action=0.15, dv_action=0.06)
     rews = _train(make_sac, cfg, SACConfig(lr=3e-3, init_alpha=0.05), 300)
     random_ret = _random_return(cfg, 7, continuous=True)
     trained = float(np.mean(rews[-20:]))
-    assert trained > random_ret + 0.002, (
+    assert trained > random_ret + 0.015, (
         f"SAC did not learn: trained={trained:.4f} random={random_ret:.4f}")
 
 
