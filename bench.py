@@ -63,13 +63,17 @@ F32_ERR_BOUND = {"10": 4.0e-6, "50": 4.0e-6, "250": 4.0e-6}
 
 # Compile-time budget gate (round 5, SURVEY.md §4 item 6): reset/rollout
 # compile+first-run must stay under these bounds or bench exits nonzero —
-# the r02 239 s config-leaf blowup and the r04 55 s reset both recur
-# silently otherwise. Bounds are COLD-compile budgets with ~3x headroom for
-# host-load scatter on the shared 2-core VM (measured round 5, chunked
-# reset: trace 1.3 + compile 3.8 + run 3.2 ≈ 8 s cold; rollout ≈ 3-7 s;
-# fleet reset ≈ 9-15 s compile+run).
-RESET_COMPILE_BUDGET_S = 30.0
-ROLLOUT_COMPILE_BUDGET_S = 25.0
+# the r02 239 s config-leaf blowup recurs silently otherwise. The idle-host
+# cold record after the round-5 chunked-reset fix is ~9 s reset / ~7 s
+# rollout (PARITY.md; was 55-66 s in r04), but compile runs on the SHARED
+# 2-core host CPU and is load-confounded by up to ~9x (measured 81.9 s for
+# the same 9 s reset while the full test suite saturated both cores), so
+# the gate bounds are sized as a blowup backstop that no plausible host
+# load can false-trip, not as a regression detector for the last few
+# seconds — the idle-host figure recorded in PARITY is the precision
+# metric.
+RESET_COMPILE_BUDGET_S = 120.0
+ROLLOUT_COMPILE_BUDGET_S = 60.0
 
 
 def log(*a):

@@ -224,6 +224,56 @@ def nb_train():
         "plt.close(fig)\n"
         "display(Image(\"/tmp/pvderx_nb_ppo.png\"))\n"))
     c.append(nbf.v4.new_markdown_cell(
+        "## SAC (continuous extension) — the same learning proof\n\n"
+        "The continuous Box(2) action space (per-step `(dq, dv)` deltas) "
+        "trains with SAC. On a high-authority variant (dq=0.15/dv=0.06 per "
+        "step) a uniform-random policy damages its own setpoint tracking "
+        "(≈0.054/step) while 300 seeded SAC updates reach ≈0.085 — the "
+        "pinned margin gate is `tests/test_learning.py::"
+        "test_sac_learns_better_than_random` (round 5: margin 0.031 "
+        "observed, 0.015 pinned)."))
+    c.append(nbf.v4.new_code_cell(
+        "from pvderx.learn import SACConfig, make_sac\n"
+        "\n"
+        "cfg_c = make_env_config(\"10\", n_sub=40, horizon=50, continuous=True,\n"
+        "                       dq_action=0.15, dv_action=0.06)\n"
+        "init_runner, sac_step, _ = make_sac(cfg_c, SACConfig(lr=3e-3, init_alpha=0.05),\n"
+        "                                    hidden=(32, 32))\n"
+        "srunner = init_runner(jax.random.PRNGKey(0), 64)\n"
+        "sts = jax.jit(sac_step, donate_argnums=(0,))\n"
+        "sac_hist = []\n"
+        "for i in range(300):\n"
+        "    srunner, m = sts(srunner)\n"
+        "    sac_hist.append(float(m[\"reward_mean\"]))\n"
+        "\n"
+        "api_c = make_env_api(cfg_c)\n"
+        "st, ob = api_c.reset_batch(jax.random.PRNGKey(7), 64)\n"
+        "stp = jax.jit(api_c.step)\n"
+        "key, tot = jax.random.PRNGKey(7 + 999), []\n"
+        "for _ in range(320):\n"
+        "    key, k = jax.random.split(key)\n"
+        "    a = jax.random.uniform(k, (64, api_c.act_dim), minval=-1.0, maxval=1.0)\n"
+        "    st, ob, r, d, _ = stp(st, a)\n"
+        "    tot.append(float(r.mean()))\n"
+        "sac_rand = float(np.mean(tot))\n"
+        "print(f\"random: {sac_rand:+.4f}   SAC (last 20): \"\n"
+        "      f\"{float(np.mean(sac_hist[-20:])):+.4f}\")\n"))
+    c.append(nbf.v4.new_code_cell(
+        "fig, ax = plt.subplots(figsize=(7, 3.2))\n"
+        "sm = np.convolve(sac_hist, np.ones(15) / 15, mode=\"valid\")\n"
+        "ax.plot(np.arange(len(sm)) + 14, sm, lw=2, color=\"#2f6f9f\",\n"
+        "        label=\"SAC (15-update smoothed)\")\n"
+        "ax.axhline(sac_rand, color=\"#b0413e\", ls=\"--\", lw=1.5,\n"
+        "           label=f\"random policy ({sac_rand:+.3f})\")\n"
+        "ax.set_xlabel(\"train_step\")\n"
+        "ax.set_ylabel(\"mean per-step reward\")\n"
+        "ax.set_title(\"SAC learns continuous setpoint control (high-authority variant)\")\n"
+        "ax.legend(loc=\"lower right\")\n"
+        "ax.grid(True, alpha=0.3)\n"
+        "fig.savefig(\"/tmp/pvderx_nb_sac.png\", dpi=120, bbox_inches=\"tight\")\n"
+        "plt.close(fig)\n"
+        "display(Image(\"/tmp/pvderx_nb_sac.png\"))\n"))
+    c.append(nbf.v4.new_markdown_cell(
         "## Deploying the trained policy\n\n"
         "Controllers ultimately run on hosts without JAX (inverter "
         "controllers, EMS/SCADA). `pvderx.learn.export` flattens the trained "

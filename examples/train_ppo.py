@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--fleet-m", type=int, default=0,
                     help="train on the M-DER shared-feeder fleet env "
                          "(BASELINE config 5); 0 = single-DER env")
+    ap.add_argument("--per-unit", action="store_true",
+                    help="fleet mode with per-unit control: MultiDiscrete "
+                         "actions (one Discrete(5) per inverter) + the "
+                         "per-unit [Vdc|P|Q|conn] obs block; PPO grows a "
+                         "factored per-unit policy head (needs --fleet-m)")
     ap.add_argument("--tp", type=int, default=1,
                     help="model-axis size for optional tensor parallelism "
                          "(2-D (env, model) mesh, pvderx.dist.tp; needs "
@@ -47,8 +52,11 @@ def main():
     if args.fleet_m:
         from pvderx.env.fleet import make_fleet_config
         cfg = make_fleet_config(args.preset, m=args.fleet_m, n_sub=args.n_sub,
+                                per_unit=args.per_unit,
                                 voltvar_enable=args.voltvar)
     else:
+        if args.per_unit:
+            raise SystemExit("--per-unit needs --fleet-m")
         cfg = make_env_config(args.preset, n_sub=args.n_sub,
                               voltvar_enable=args.voltvar)
     init_runner, train_step, _ = make_ppo(cfg, PPOConfig())

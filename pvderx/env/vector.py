@@ -13,12 +13,14 @@ interchangeable implementations:
               one HBM read/write per *window* instead of per substep;
               1.01 ms/window at 32k envs / n_sub=64 (the f32 knee) on a v5e
               (~20x the XLA per-substep scan path). Roofline (measured,
-              benchmarks/roofline.py round 5): 947 VPU ops per env-substep
-              (analytic jaxpr count, 1.00x vs XLA cost_analysis) at
-              0.46 ns/env-substep kernel-only = 2.06 T ops/s = **53.5% of
-              the v5e VPU issue ceiling** (71% weighting transcendentals at
-              4 passes), HBM at 1.1% — compute-bound at the issue rate, not
-              bandwidth. The kernel is 93% of the step; all remaining XLA
+              benchmarks/roofline.py round 5): 923 VPU ops per env-substep
+              (analytic jaxpr count, cross-checked vs XLA cost_analysis;
+              947 before the round-5 divide hoist — 8 per-RHS divides with
+              window-invariant divisors now ride Prep as reciprocal
+              multiplies, +2% kernel) at 0.45 ns/env-substep kernel-only =
+              2.05 T ops/s = **53% of the v5e VPU issue ceiling** (66%
+              weighting transcendentals/divides at 4 passes), HBM at 1.1%
+              — compute-bound at the issue rate, not bandwidth. The kernel is 93% of the step; all remaining XLA
               ops (obs/reward/events/autoreset) total 6.8%
               (benchmarks/kernel_split.py, round 4, scalar-fetch-synced).
 

@@ -36,6 +36,10 @@ _N_ZONES = 6
 _VV_V = (0.92, 0.98, 1.02, 1.08)
 # MPPT P&O constants (SPEC.md §8 defaults)
 _MPPT_DV, _MPPT_LO, _MPPT_HI = 0.005, 0.7, 1.2
+# P&O deadband — MUST mirror scenario.mppt_voltvar.MPPT_DEADBAND (the
+# oracle independence rule forbids importing it); pinned by
+# tests/test_supervisory_oracle.py's mppt feature episodes.
+_MPPT_DEADBAND = 1e-6
 
 OBS_DIM = 13
 
@@ -181,7 +185,8 @@ def run_episode_independent(cfg, state, actions, rtol=scipy_ref.RTOL,
                 # P&O, active once every n_mppt control steps (SPEC §8)
                 p_pv = float(g0.p_pv)
                 if t_step % int(cfg.n_mppt) == 0:
-                    new_dir = mppt_dir if (p_pv - mppt_p_prev) >= 0 else -mppt_dir
+                    new_dir = (mppt_dir if (p_pv - mppt_p_prev)
+                               >= -_MPPT_DEADBAND else -mppt_dir)
                     vdc_ref = float(np.clip(vdc_ref + _MPPT_DV * new_dir,
                                             _MPPT_LO, _MPPT_HI))
                     mppt_p_prev, mppt_dir = p_pv, new_dir
@@ -338,7 +343,8 @@ def run_fleet_episode_independent(fc, state, actions, rtol=scipy_ref.RTOL,
             if cfg.mppt_enable and t_step % int(cfg.n_mppt) == 0:
                 for j in range(m):
                     p_pv = float(g0.p_pv[j])
-                    new_dir = (mppt_dir[j] if p_pv - mppt_p_prev[j] >= 0
+                    new_dir = (mppt_dir[j]
+                               if p_pv - mppt_p_prev[j] >= -_MPPT_DEADBAND
                                else -mppt_dir[j])
                     vdc_ref[j] = float(np.clip(
                         vdc_ref[j] + _MPPT_DV * new_dir, _MPPT_LO, _MPPT_HI))

@@ -174,7 +174,7 @@ def _pow16(r):
     return r8 * r8
 
 
-def soft_limit_scale(mag, lim, xp):
+def soft_limit_scale(mag, lim, xp, inv_lim=None):
     """Smooth radial limiter: scale s.t. mag*s -> lim as mag grows.
 
     s = (1 + (mag/lim)^k)^(-1/k). Smooth (C-inf) so fixed-step RK4 and the
@@ -183,12 +183,16 @@ def soft_limit_scale(mag, lim, xp):
     (A sqrt-chain form of x^(-1/16) was measured on a v5e and is NOT faster —
     XLA/Mosaic already lowers that fixed power well; keep the plain form.
     The inner r^16 as a generic pow was NOT free — see _pow16.)
+    `inv_lim` (optional): precomputed 1/lim — divides are multi-pass on the
+    TPU VPU and the limit is window-invariant, so the Prep path hoists the
+    reciprocal (round-5 divide hoist; all backends share it, so oracle and
+    kernel stay arithmetic-identical).
     """
-    r = xp.minimum(mag / lim, 8.0)
+    r = xp.minimum(mag * inv_lim if inv_lim is not None else mag / lim, 8.0)
     return (1.0 + _pow16(r)) ** (-1.0 / SAT_K)
 
 
-def aw_gate(mag, lim, xp):
+def aw_gate(mag, lim, xp, inv_lim=None):
     """Smooth anti-windup gate: ~1 below the limit, ~0 above.
 
     Negative result (v5e, round 2): replacing this sigmoid with the rational
@@ -196,8 +200,11 @@ def aw_gate(mag, lim, xp):
     as did exp->exp2 in pv_power and an rsqrt/sqrt chain for the -1/16 power —
     Mosaic's transcendentals are cheap and mul chains add dependency latency.
     Do not re-try formula-level transcendental elimination without new ideas.
+    (The round-5 divide hoist is different: it removes whole per-eval divides
+    whose divisors are window-invariant, not transcendental reformulations.)
     """
-    z = AW_KAPPA * (1.0 - mag / lim)
+    r = mag * inv_lim if inv_lim is not None else mag / lim
+    z = AW_KAPPA * (1.0 - r)
     return 1.0 / (1.0 + xp.exp(-xp.minimum(z, 40.0)))
 
 
@@ -208,18 +215,24 @@ def photo_current(s_irr, t_cell, p):
     return (p.isc_ref + p.ki_t * (t_cell - t_ref)) * (s_irr / 1000.0)
 
 
-def pv_power(vdc, s_irr, t_cell, p, xp, iph=None):
+def pv_power(vdc, s_irr, t_cell, p, xp, iph=None, g_over_t=None,
+             inv_s=None):
     """Single-diode array power, pu of S_rated (SPEC.md §4.8).
 
     exp(x)-1 rather than expm1: x ≈ 17 at operating Vdc so the -1 is far
     below f32 ulp anyway, and Pallas TPU lowering has no expm1 primitive.
+    `g_over_t`/`inv_s` (optional): hoisted gamma/T_cell and 1/S_rated
+    (window-invariant divides — see soft_limit_scale).
     """
     vdc_v = vdc * p.vdc_base
     if iph is None:
         iph = photo_current(s_irr, t_cell, p)
-    i_arr = p.np_par * (iph - p.irs * (xp.exp(p.gamma * vdc_v / t_cell) - 1.0))
+    ex = (g_over_t * vdc_v if g_over_t is not None
+          else p.gamma * vdc_v / t_cell)
+    i_arr = p.np_par * (iph - p.irs * (xp.exp(ex) - 1.0))
     i_arr = xp.maximum(i_arr, 0.0)
-    return i_arr * vdc_v / p.s_rated
+    pw = i_arr * vdc_v
+    return pw * inv_s if inv_s is not None else pw / p.s_rated
 
 
 class Prep(NamedTuple):
@@ -227,12 +240,19 @@ class Prep(NamedTuple):
     the ZOH contract, SPEC.md §3): computed once per control window by the
     Pallas kernel instead of at every RK4 RHS evaluation. A `None` prep means
     "compute inline" (the default/oracle path — identical arithmetic, so the
-    two modes are bitwise-equal)."""
+    two modes are bitwise-equal). Round 5 added the reciprocal hoists
+    (inv_*/g_over_t): TPU VPU divides are multi-pass, and 8 of the ~17
+    divides per RHS evaluation had window-invariant divisors."""
 
     y_g: C          # grid admittance 1/(rg + j·xg)
     y_tot: C        # y_g + load admittance
+    inv_y_tot: C    # 1/y_tot — turns the per-eval PCC cdiv into a cmul
     en: object      # conn·(1-ces)
     iph: object     # photo-current of the diode model
+    inv_m_max: object   # 1/m_max (modulation soft limiter)
+    inv_i_max: object   # 1/i_max (current soft limiter + anti-windup gate)
+    g_over_t: object    # gamma/T_cell (diode exponent)
+    inv_s: object       # 1/S_rated (power normalization)
     a_k: object     # phase rotators exp(j·phi_k) (None for n_ph == 1)
     v2: object      # neg-seq source phasor v_g2·e^{j·phi_g2}·conj(a_k) [n_ph]
                     # (None for n_ph == 1 — unbalance needs three phases)
@@ -249,7 +269,11 @@ def prep_invariants(p, u, xp, bdims: int = 0) -> Prep:
     else:
         a_k = cexpj(_shift_angles(p.n_ph, xp, None, bdims), xp)
         v2 = cscale(cmul(cexpj(u.phi_g2, xp), cconj(a_k)), u.v_g2)
-    return Prep(y_g=y_g, y_tot=y_tot, en=en, iph=iph, a_k=a_k, v2=v2)
+    one = 1.0 + 0.0 * en
+    return Prep(y_g=y_g, y_tot=y_tot, inv_y_tot=cinv(y_tot), en=en, iph=iph,
+                inv_m_max=one / p.m_max, inv_i_max=one / p.i_max,
+                g_over_t=p.gamma / u.t_cell, inv_s=one / p.s_rated,
+                a_k=a_k, v2=v2)
 
 
 def grid_rot(t, p, u, xp) -> C:
@@ -283,7 +307,7 @@ def pcc_voltage(i_inj, t, p, u, xp, prep: Prep | None = None,
         v_g = v_gpos
     else:
         v_g = cadd(cmul(v_gpos, prep.a_k), cmul(rot, prep.v2))
-    return cdiv(cadd(cmul(v_g, prep.y_g), i_inj), prep.y_tot)
+    return cmul(cadd(cmul(v_g, prep.y_g), i_inj), prep.inv_y_tot)
 
 
 def algebra_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None) -> Algebra:
@@ -307,7 +331,7 @@ def algebra_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None) -> Algebra:
     # modulation + terminal voltage (SPEC §4.4-4.5), smooth saturation
     m_raw = cadd(cscale(uf, p.kp_gcc), x)
     m_mag = xp.sqrt(m_raw.re * m_raw.re + m_raw.im * m_raw.im + 1e-30)
-    m = cscale(m_raw, soft_limit_scale(m_mag, p.m_max, xp))
+    m = cscale(m_raw, soft_limit_scale(m_mag, p.m_max, xp, prep.inv_m_max))
     vdc_pos = xp.maximum(vdc, p.vdc_floor)
     vt = cscale(m, p.kv * vdc_pos)
 
@@ -323,7 +347,8 @@ def algebra_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None) -> Algebra:
     s_pcc = cmul(v, cconj(i_inj))
     p_pcc = xp.mean(s_pcc.re, axis=0)
     q_pcc = xp.mean(s_pcc.im, axis=0)
-    p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp, iph=prep.iph)
+    p_pv = pv_power(vdc, u.s_irr, u.t_cell, p, xp, iph=prep.iph,
+                    g_over_t=prep.g_over_t, inv_s=prep.inv_s)
 
     # outer loops -> current reference (SPEC §4.7). The const-Vdc variant
     # (SURVEY.md §2.1 #7) retargets the d-axis loop from Vdc regulation to
@@ -334,13 +359,13 @@ def algebra_given_v(y, t, p, u, v: C, xp, prep: Prep | None = None) -> Algebra:
     e_q = u.q_ref - q_pcc
     iq_raw = -(p.kp_q * e_q + xq)
     mag = xp.sqrt(id_raw * id_raw + iq_raw * iq_raw + 1e-30)
-    s_lim = soft_limit_scale(mag, p.i_max, xp)
+    s_lim = soft_limit_scale(mag, p.i_max, xp, prep.inv_i_max)
     en = prep.en
     id_ref = id_raw * s_lim
     iq_ref = iq_raw * s_lim
     i_dq = cmul(C(id_ref, iq_ref), e_th)
     i_ref = cscale(i_dq if n_ph == 1 else cmul(i_dq, a_k), en)
-    aw = en * aw_gate(mag, p.i_max, xp)
+    aw = en * aw_gate(mag, p.i_max, xp, prep.inv_i_max)
 
     return Algebra(i=i, v=v, vt=vt, m=m, v_pos=v_pos, i_pos=i_pos, v_q=v_q,
                    f_meas=f_meas, p_pv=p_pv, p_inv=p_inv, p_pcc=p_pcc,

@@ -21,15 +21,27 @@ def mppt_init(p0=0.0, dtype=jnp.float32) -> MPPTState:
     return MPPTState(p_prev=jnp.asarray(p0, dtype), direction=jnp.ones((), dtype))
 
 
+# P&O power deadband [pu]: |dP| below this keeps the current direction.
+# Real P&O controllers reject measurement noise this way; here it ALSO pins
+# the cross-backend contract — at the MPP the raw dP >= 0 decision is
+# sign-of-last-ulp, and jnp-vs-numpy ulp differences flipped direction bits
+# nondeterministically between the env and its independent oracle (round 5,
+# found when the divide hoist re-rolled the roundings: 2 of 6 seeds
+# diverged by ~3e-2). 1e-6 pu (~0.25 W on the 250 kW preset) is far above
+# any backend ulp and far below a real P&O step's dP.
+MPPT_DEADBAND = 1e-6
+
+
 def mppt_update(ms: MPPTState, vdc_ref, p_pv, k_step, n_mppt: int,
                 dv: float = 0.005, lo: float = 0.7, hi: float = 1.2):
     """P&O update, active once every n_mppt control steps (SPEC.md §8).
 
-    Returns (new_state, new_vdc_ref).
+    Returns (new_state, new_vdc_ref). Direction flips only when the power
+    moved DOWN by more than MPPT_DEADBAND (see above).
     """
     active = (jnp.asarray(k_step) % n_mppt == 0).astype(vdc_ref.dtype)
     dp = p_pv - ms.p_prev
-    new_dir = jnp.where(dp >= 0, ms.direction, -ms.direction)
+    new_dir = jnp.where(dp >= -MPPT_DEADBAND, ms.direction, -ms.direction)
     vdc_new = jnp.clip(vdc_ref + dv * new_dir, lo, hi)
     return (
         MPPTState(
