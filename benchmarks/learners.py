@@ -93,6 +93,14 @@ def main():
         ppo = PPOConfig(rollout_len=16, n_epochs=4, n_minibatch=4)
         results["fleet_ppo"] = bench("fleet_ppo", make_ppo, fc, ppo, 2048,
                                      ppo.rollout_len, n_updates=100)
+    if which in ("fleet_ppo_per_unit",):
+        # round-5 per-unit control mode: factored 16-unit policy head +
+        # 13+64-dim obs; same fused fleet kernel underneath
+        fc = make_fleet_config("10", m=16, n_sub=64, per_unit=True)
+        ppo = PPOConfig(rollout_len=16, n_epochs=4, n_minibatch=4)
+        results["fleet_ppo_per_unit"] = bench(
+            "fleet_ppo_per_unit", make_ppo, fc, ppo, 2048,
+            ppo.rollout_len, n_updates=100)
     import json
     print(json.dumps({k: round(v, 1) for k, v in results.items()}))
 
