@@ -21,8 +21,9 @@ interchangeable implementations:
               2.05 T ops/s = **53% of the v5e VPU issue ceiling** (66%
               weighting transcendentals/divides at 4 passes), HBM at 1.1%
               — compute-bound at the issue rate, not bandwidth. The kernel is 93% of the step; all remaining XLA
-              ops (obs/reward/events/autoreset) total 6.8%
-              (benchmarks/kernel_split.py, round 4, scalar-fetch-synced).
+              ops (obs/reward/events/autoreset) total 7.0%
+              (benchmarks/kernel_split.py, round-5 post-hoist re-measure,
+              scalar-fetch-synced).
 
 ``window="auto"`` picks pallas on TPU backends when the batch tiles legally.
 Both paths share the identical `rhs_core` physics and agree to f32 roundoff

@@ -83,6 +83,12 @@ def _window_kernel(t_ref, y_ref, p_ref, u_ref, out_ref, *, n_ph, n_sub, h):
         s = y + d
         return s, (s - y) - d, r4
 
+    # NEGATIVE RESULT (round 5, measured, do not re-try without new ideas):
+    # fully unrolling this loop (Mosaic supports only unroll=1 or
+    # unroll=n_sub) measured 0.469 vs 0.461 ns/env-substep — 2% SLOWER —
+    # at 10x the compile time (41 s vs 4 s): the rolled loop body already
+    # saturates VPU issue slots (roofline: 49-53% incl. multi-pass
+    # transcendentals), so unrolling only bloats the instruction stream.
     y1, _, _ = lax.fori_loop(
         0, n_sub, body,
         (y, jnp.zeros_like(y), rhs_core.grid_rot(t0, p, u, jnp)))
