@@ -217,6 +217,64 @@ def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True,
     return reset_batch, step_batch
 
 
+def make_batch_fns_df(cfg: core.EnvConfig, autoreset: bool = True,
+                      donate: bool = True, block: int = 1024):
+    """The df32 precision tier at the ENV surface (round 5): same contract
+    as `make_batch_fns`, but the ODE state is carried as a two-float32
+    (hi, lo) pair through the double-float window kernel
+    (`pvderx.ops.dualfloat.rk4_window_batch_df`) — the ≤1e-6 trajectory
+    contract on-chip (measured 8.9e-7 vs the f64 LSODA truth on the gate
+    scenario, `benchmarks/DUALFLOAT.json`) at a measured 5.1× kernel cost.
+
+    Returns (reset_df(keys) -> ((state, y_lo), obs),
+             step_df((state, y_lo), actions) -> ((state, y_lo), obs, r,
+             done, info)).
+    The carry is the plain EnvState plus the [N, n_states] lo residual —
+    NOT a new EnvState field, so checkpoints/shardings of the f32 tier are
+    untouched. Observations/rewards/termination evaluate on the hi part
+    (they are f32-precision surfaces by contract); the lo part rides the
+    integration and zeroes on auto-reset (the cached y0 is an exact-f32
+    episode anchor). Requires integrator='rk4'; runs the interpret-mode
+    kernel off-TPU (slow — CPU use is for tests).
+    """
+    if cfg.integrator != "rk4":
+        raise ValueError("the df32 tier implements integrator='rk4' only")
+    from pvderx.ops.dualfloat import rk4_window_batch_df
+    from pvderx.ops.window import P_FIELDS, U_FIELDS, pack_struct
+
+    @jax.jit
+    def reset_df(keys):
+        f = jax.vmap(lambda k: core.reset(cfg, k))
+        state, obs = f(keys)
+        return (state, jnp.zeros_like(state.y)), obs
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step_df(carry, actions):
+        state, y_lo = carry
+        t, exog, mppt, flag = jax.vmap(
+            lambda s, a: core._pre_window(cfg, s, a))(state, actions)
+        p_pack = pack_struct(state.der, P_FIELDS)
+        n = state.y.shape[0]
+        y1, y1_lo = rk4_window_batch_df(
+            state.y, y_lo, t, p_pack, pack_struct(exog, U_FIELDS),
+            n_ph=cfg.der.n_ph, n_sub=cfg.n_sub, dt=cfg.dt_ctrl,
+            block=min(block, n),
+            interpret=jax.default_backend() == "cpu")
+        st1, obs, reward, done, info = jax.vmap(
+            lambda s, e, m, tt, yy, fl: core._post_window(
+                cfg, s, e, m, tt, yy, fl),
+        )(state, exog, mppt, t, y1, flag)
+        if not autoreset:
+            return (st1, y1_lo), obs, reward, done, info
+        st_r, obs_r = jax.vmap(lambda s: core._soft_reset(cfg, s))(st1)
+        st2 = jax.tree.map(partial(_where_done, done), st_r, st1)
+        obs2 = _where_done(done, obs_r, obs)
+        y_lo2 = _where_done(done, jnp.zeros_like(y1_lo), y1_lo)
+        return (st2, y_lo2), obs2, reward, done, info
+
+    return reset_df, step_df
+
+
 def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
             window: str = "auto", block: int = 4096, mesh=None):
     """Scan a policy over n_steps of a batched env with auto-reset.

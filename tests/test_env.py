@@ -192,3 +192,40 @@ def test_chunked_reset_matches_direct(monkeypatch):
     keys2 = jax.random.split(jax.random.PRNGKey(7), 96)
     st2, obs2 = reset_b(keys2)
     assert obs2.shape[0] == 96
+
+
+def test_df32_env_tier_contract():
+    """The env-surface df32 tier (vector.make_batch_fns_df, round 5): same
+    env contract as the f32 path (obs/reward/done track it to f32 noise),
+    while the lo residual is genuinely carried across steps and zeroed on
+    auto-reset. Kernel-level accuracy (8.9e-7 vs LSODA) is gated separately
+    in benchmarks/DUALFLOAT.json + tests/test_ops.py; this pins the
+    plumbing."""
+    from pvderx.env import vector
+
+    env_cfg = make_env_config("10", dtype=jnp.float32, n_sub=48, horizon=4)
+    n = 128
+    keys = jax.random.split(jax.random.PRNGKey(5), n)
+    reset_df, step_df = vector.make_batch_fns_df(env_cfg)
+    carry, obs0 = reset_df(keys)
+    reset_b, step_b = vector.make_batch_fns(env_cfg, window="scan")
+    st_f, obs_f = reset_b(keys)
+    np.testing.assert_array_equal(np.asarray(obs0), np.asarray(obs_f))
+
+    acts = jnp.zeros((n,), jnp.int32)
+    for k in range(3):
+        carry, obs, rew, done, info = step_df(carry, acts)
+        st_f, obs_f, rew_f, done_f, _ = step_b(st_f, acts)
+        np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_f),
+                                   rtol=0, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(done), np.asarray(done_f))
+        assert not bool(jnp.any(done))  # horizon=4: no env done yet
+    st2, y_lo = carry
+    # the lo residual is alive (sub-ulp integration state is being carried)
+    assert float(jnp.max(jnp.abs(y_lo))) > 0.0
+    # 4th step truncates every env -> autoreset zeroes the lo residual
+    carry, obs, rew, done, info = step_df(carry, acts)
+    assert bool(jnp.all(done))
+    st3, y_lo3 = carry
+    assert float(jnp.max(jnp.abs(y_lo3))) == 0.0
+    assert int(st3.t_step.max()) == 0   # episodes restarted
