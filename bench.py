@@ -393,8 +393,8 @@ def main():
                          "26.2M (16k) / 28.9M (32k) / 29.5M (64k) "
                          "env-steps/s — 32k is the knee (64k buys ~2% for "
                          "2x the reset compile); round-5 scalar-fetch record "
-                         "at 32k is 31.8M (Kahan kernel, n_sub=64 f32 knee, "
-                         "divide hoist)")
+                         "at 32k is 33.5M (Kahan kernel, n_sub=64 f32 knee, "
+                         "divide hoist + block 2048)")
     ap.add_argument("--n-sub", type=int, default=64,
                     help="RK4 substeps per 1/60 s window. The F64 1e-6 "
                          "contract knees (hardest scenario, sustained "

@@ -11,16 +11,17 @@ interchangeable implementations:
               any backend/batch size; each substep round-trips HBM.
 - ``pallas``: the fused VMEM-resident window kernel (pvderx/ops/window.py) —
               one HBM read/write per *window* instead of per substep;
-              1.01 ms/window at 32k envs / n_sub=64 (the f32 knee) on a v5e
-              (~20x the XLA per-substep scan path). Roofline (measured,
+              0.90 ms/window at 32k envs / n_sub=64 (the f32 knee) on a
+              v5e (~20x the XLA per-substep scan path). Roofline (measured,
               benchmarks/roofline.py round 5): 923 VPU ops per env-substep
               (analytic jaxpr count, cross-checked vs XLA cost_analysis;
               947 before the round-5 divide hoist — 8 per-RHS divides with
               window-invariant divisors now ride Prep as reciprocal
-              multiplies, +2% kernel) at 0.45 ns/env-substep kernel-only =
-              2.05 T ops/s = **53% of the v5e VPU issue ceiling** (66%
-              weighting transcendentals/divides at 4 passes), HBM at 1.1%
-              — compute-bound at the issue rate, not bandwidth. The kernel is 93% of the step; all remaining XLA
+              multiplies) at 0.43 ns/env-substep kernel-only (block=2048,
+              re-tuned post-hoist) = 2.19 T ops/s = **56% of the v5e VPU
+              issue ceiling** (70% weighting transcendentals/divides at 4
+              passes), HBM at 1.1% — compute-bound at the issue rate, not
+              bandwidth. The kernel is 93% of the step; all remaining XLA
               ops (obs/reward/events/autoreset) total 7.0%
               (benchmarks/kernel_split.py, round-5 post-hoist re-measure,
               scalar-fetch-synced).
@@ -178,7 +179,7 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
 
 def make_batch_fns(cfg: core.EnvConfig, autoreset: bool = True,
                    donate: bool = True, window: str = "auto",
-                   block: int = 4096, mesh=None):
+                   block: int = 2048, mesh=None):
     """Returns (reset_batch(keys) -> (state, obs),
                 step_batch(state, actions) -> (state, obs, reward, done, info)).
 
@@ -276,7 +277,7 @@ def make_batch_fns_df(cfg: core.EnvConfig, autoreset: bool = True,
 
 
 def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
-            window: str = "auto", block: int = 4096, mesh=None):
+            window: str = "auto", block: int = 2048, mesh=None):
     """Scan a policy over n_steps of a batched env with auto-reset.
 
     policy_fn(obs, key) -> actions [N]. Returns (state, obs, rewards [T,N],

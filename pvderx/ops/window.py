@@ -223,16 +223,18 @@ MIN_BLOCK = 8 * LANE  # sublane (8) x lane (128) tile of one f32 vreg
 
 @partial(jax.jit, static_argnames=("n_ph", "n_sub", "dt", "block", "interpret"))
 def rk4_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, n_sub: int,
-                     dt: float, block: int = 4096, interpret: bool = False):
+                     dt: float, block: int = 2048, interpret: bool = False):
     """Integrate all N envs over one control window in a single fused kernel.
 
     y: [N, n_states]; t0: [N]; p_pack: [n_p, N]; u_pack: [n_u, N].
     Returns y1 [N, n_states]. N must be a multiple of ``min(N, block)``,
     which must be a multiple of 1024 (8 sublanes x 128 lanes per f32 tile).
     Measured on a v5e (long-chunk amortized — see the tunnel-overhead note in
-    bench.py --help): ~7.4 us per substep across a 16k-env batch, i.e.
-    0.53 ms/window at n_sub=72 -> ~31M env-window integrations/s; block 2048
-    and 4096 tie, 8192+ regress (grid pipelining stops overlapping DMA).
+    bench.py --help): pre-hoist, block 2048 and 4096 tied and 8192+
+    regressed (grid pipelining stops overlapping DMA); after the round-5
+    divide hoist the leaner body re-balanced the pipeline and block=2048 is
+    +4.8% over 4096 (35.4M vs 33.8M env-windows/s at 32k envs, n_sub=64) —
+    now the default.
     """
     n, n_s = y.shape
     block = min(block, n)
