@@ -393,8 +393,8 @@ def main():
                          "26.2M (16k) / 28.9M (32k) / 29.5M (64k) "
                          "env-steps/s — 32k is the knee (64k buys ~2% for "
                          "2x the reset compile); round-5 scalar-fetch record "
-                         "at 32k is 33.5M (Kahan kernel, n_sub=64 f32 knee, "
-                         "divide hoist + block 2048)")
+                         "at 32k is 34.1M (Kahan kernel, n_sub=64 f32 knee, "
+                         "divide hoist + block 2048 + chunk 3840)")
     ap.add_argument("--n-sub", type=int, default=64,
                     help="RK4 substeps per 1/60 s window. The F64 1e-6 "
                          "contract knees (hardest scenario, sustained "
@@ -409,12 +409,15 @@ def main():
                          "quasi-equilibrium offset, n_sub-independent). "
                          "48 breaches (1.4e-5). See SPEC.md §6 and "
                          "benchmarks/integrator_study.py")
-    ap.add_argument("--chunk", type=int, default=960,
+    ap.add_argument("--chunk", type=int, default=3840,
                     help="env steps per timed call. This sandbox's TPU "
                          "tunnel adds ~23 ms of dispatch overhead per jitted "
                          "call (measured; absent on a directly-attached "
                          "chip), so longer chunks amortize it: at 32k envs "
                          "480 -> 28.9M, 960 -> 29.7M env-steps/s (round 2); "
+                         "round-5 re-sweep post block re-tune: 960 -> "
+                         "33.47M, 1920 -> 33.92M, 3840 -> 34.17M (the "
+                         "~3.7 s timed region keeps dispatch <0.7%); "
                          "64k envs adds only +0.6% for 2x the reset compile")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")

@@ -233,8 +233,8 @@ def rk4_window_batch(y, t0, p_pack, u_pack, *, n_ph: int, n_sub: int,
     bench.py --help): pre-hoist, block 2048 and 4096 tied and 8192+
     regressed (grid pipelining stops overlapping DMA); after the round-5
     divide hoist the leaner body re-balanced the pipeline and block=2048 is
-    +4.8% over 4096 (35.4M vs 33.8M env-windows/s at 32k envs, n_sub=64) —
-    now the default.
+    +4.8% over 4096 (35.6M vs 33.8M env-windows/s at 32k envs, n_sub=64;
+    1024 regresses to 33.9M) — now the default.
     """
     n, n_s = y.shape
     block = min(block, n)
