@@ -115,6 +115,31 @@ def enable_compilation_cache():
         log(f"compilation cache unavailable: {e}")
 
 
+def gate_scenario_exogs(n_steps: int = 120):
+    """The fixed eventful gate scenario (settle / cloud step to 400 W/m² /
+    0.55 pu deep sag / +0.5 Hz frequency excursion) as a ZOH exog list —
+    the SINGLE definition shared by the f32 accuracy gate here and the df32
+    study (benchmarks/dualfloat_study.py), so the two tiers are always
+    measured on the same scenario."""
+    from pvderx.params import nominal_exog
+
+    u = nominal_exog()
+    dt = 1.0 / 60.0
+    q = n_steps // 4
+    exogs = []
+    for k in range(n_steps):
+        if k < q:
+            exogs.append(u)                                    # settle
+        elif k < 2 * q:
+            exogs.append(dataclasses.replace(u, s_irr=400.0))  # cloud step
+        elif k < 3 * q:
+            exogs.append(dataclasses.replace(u, v_g=0.55))     # deep sag
+        else:
+            exogs.append(dataclasses.replace(u, dw_g=0.5 / 60.0,
+                                             t_g=3 * q * dt))  # freq excursion
+    return exogs
+
+
 def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
                          n_steps: int = 120):
     """Trajectory error of the production f32 Pallas window path vs f64 truth.
@@ -136,20 +161,7 @@ def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
     from pvderx.ops.window import P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch
 
     p = make_params(preset)
-    u = nominal_exog()
-    dt = 1.0 / 60.0
-    q = n_steps // 4
-    exogs = []
-    for k in range(n_steps):
-        if k < q:
-            exogs.append(u)                                    # settle
-        elif k < 2 * q:
-            exogs.append(dataclasses.replace(u, s_irr=400.0))  # cloud step
-        elif k < 3 * q:
-            exogs.append(dataclasses.replace(u, v_g=0.55))     # deep sag
-        else:
-            exogs.append(dataclasses.replace(u, dw_g=0.5 / 60.0,
-                                             t_g=3 * q * dt))  # freq excursion
+    exogs = gate_scenario_exogs(n_steps)
     traj_truth = scipy_ref.run_trajectory(p, exogs)  # [n_steps+1, n_s] f64
 
     n = 128  # minimum legal Pallas tile width
@@ -278,8 +290,9 @@ BASELINE_CONFIGS = {
     # remote-TPU tunnel stays <2% of the measurement (round-3 verdict weak
     # #4: config 2's 0.1 s chunks were noise-dominated — and now FAIL the
     # sync-linearity gate, measured 4.2x).
-    1: dict(preset="10", n_envs=1, chunk=960, cfg_kw={}),  # ~151 steps/s:
-    # keep the timed region ~6 s (the 3840 default would make it ~25 s/rep)
+    1: dict(preset="10", n_envs=1, chunk=960, cfg_kw={}),  # ~184 steps/s
+    # (round-5 record): keep the timed region ~5 s (the 3840 default would
+    # make it ~21 s/rep)
     2: dict(preset="50", n_envs=1024, n_sub=80, chunk=19200,
             cfg_kw=dict(voltvar_enable=True)),
     3: dict(preset="10", n_envs=8192, chunk=5760,

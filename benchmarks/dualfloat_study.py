@@ -39,32 +39,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_df_accuracy(n_sub: int, n_steps: int = 120):
-    """df32 kernel vs LSODA f64 truth on bench.py's exact gate scenario."""
+def measure_df_accuracy(n_sub: int, n_steps: int = 120, preset: str = "10"):
+    """df32 kernel vs LSODA f64 truth on bench.py's exact gate scenario
+    (imported from bench.gate_scenario_exogs — one definition, both tiers;
+    round-5 review finding)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from bench import gate_scenario_exogs
     from pvderx.oracle import scipy_ref
-    from pvderx.params import make_params, nominal_exog
+    from pvderx.params import make_params
     from pvderx.ops.window import P_FIELDS, U_FIELDS, pack_struct
     from pvderx.ops.dualfloat import rk4_window_batch_df
 
-    p = make_params("10")
-    u = nominal_exog()
+    p = make_params(preset)
     dt = 1.0 / 60.0
-    q = n_steps // 4
-    exogs = []
-    for k in range(n_steps):
-        if k < q:
-            exogs.append(u)
-        elif k < 2 * q:
-            exogs.append(dataclasses.replace(u, s_irr=400.0))
-        elif k < 3 * q:
-            exogs.append(dataclasses.replace(u, v_g=0.55))
-        else:
-            exogs.append(dataclasses.replace(u, dw_g=0.5 / 60.0,
-                                             t_g=3 * q * dt))
+    exogs = gate_scenario_exogs(n_steps)
     traj_truth = scipy_ref.run_trajectory(p, exogs)
 
     n = 128
@@ -90,7 +81,7 @@ def measure_df_accuracy(n_sub: int, n_steps: int = 120):
                          pack_struct(ub, U_FIELDS))
         yk = np.asarray(y_hi[0], np.float64) + np.asarray(y_lo[0], np.float64)
         errs[k] = float(np.max(np.abs(yk - traj_truth[k + 1])))
-    log(f"df32 kernel vs LSODA f64 truth (preset 10, n_sub={n_sub}, "
+    log(f"df32 kernel vs LSODA f64 truth (preset {preset}, n_sub={n_sub}, "
         f"{n_steps} windows): max_abs_err={errs.max():.3e} "
         f"(final-window {errs[-1]:.3e})")
     return float(errs.max())
@@ -141,9 +132,10 @@ def measure_rate(df: bool, n_envs: int, n_sub: int, n_win: int, reps: int = 4):
         def many(y):
             def body(carry, k):
                 t = jnp.full((n_envs,), k * dt, jnp.float32)
+                # production-default block (2048 post round-5 re-tune) so the
+                # cost factor compares df32 against the SHIPPED f32 config
                 return rk4_window_batch(carry, t, p_pack, u_pack, n_ph=p.n_ph,
-                                        n_sub=n_sub, dt=dt,
-                                        block=min(4096, n_envs)), None
+                                        n_sub=n_sub, dt=dt), None
             y, _ = lax.scan(body, y, jnp.arange(n_win, dtype=jnp.float32))
             return y, jnp.sum(y)
         state = y
@@ -185,6 +177,11 @@ def main():
 
     out = {"backend": backend, "n_sub": args.n_sub}
     out["df32_max_abs_err"] = measure_df_accuracy(args.n_sub)
+    if backend != "cpu":
+        # 3-phase coverage (round 5: DF supports n_ph=3 after the
+        # shift-angle iota fix): preset 50 at its n_sub=80 knee
+        out["df32_max_abs_err_preset50"] = measure_df_accuracy(
+            80, preset="50")
     if backend != "cpu":
         r_f32 = measure_rate(False, args.n_envs, args.n_sub, args.n_win)
         r_df = measure_rate(True, args.n_envs, args.n_sub, args.n_win)

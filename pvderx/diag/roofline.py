@@ -98,7 +98,7 @@ def _count_jaxpr(jaxpr, counts: Counter):
         counts[eqn.primitive.name] += n_out
 
 
-def substep_op_count(n_ph: int = 1, m: int | None = None) -> dict:
+def substep_op_count(n_ph: int = 1) -> dict:
     """Per-env (or per-env-DER for fleets) op count of ONE RK4 substep of the
     production window kernel: 4 RHS evals + 2 grid rotations + Kahan combine.
 
@@ -156,12 +156,10 @@ def substep_op_count(n_ph: int = 1, m: int | None = None) -> dict:
                  hcounts)
     counts = counts - hcounts
 
-    if m is not None:
-        # fleet kernel: same per-unit RHS; the shared-feeder coupling adds
-        # 2 means over M (counted ~1 op/unit each) and shares one
-        # pcc_voltage across units — a small correction we bound by simply
-        # reusing the single-DER count per unit (slightly conservative).
-        pass
+    # fleet roofline note: vpu_utilization multiplies this per-DER count by
+    # M. The fleet kernel shares one pcc_voltage across units and adds two
+    # means over M, so M× the single-DER count is slightly conservative
+    # (over-counts by ~1%) — fine for a utilization LOWER bound.
     return _classify(counts)
 
 

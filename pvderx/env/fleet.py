@@ -284,7 +284,8 @@ def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
                      block: int, autoreset: bool, mesh=None):
     from functools import partial as _p
 
-    from pvderx.env.vector import _local_envs, _shard_mapped_window, _use_pallas
+    from pvderx.env.vector import (
+        _effective_block, _local_envs, _shard_mapped_window, _use_pallas)
     if fc.base.integrator != "rk4":
         if window == "pallas":
             raise ValueError(
@@ -303,7 +304,8 @@ def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
             # an explicit window='scan' is not a fallback — don't cry wolf
             _warn_scan_fallback(n, mesh)
         window, n_loc = "scan", n
-    if _use_pallas(window, n_loc, min(block, n_loc)):
+    blk = _effective_block(n_loc, block, cap=block)
+    if _use_pallas(window, n_loc, blk):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_fleet_window_batch)
         cfg, m = fc.base, fc.m
@@ -311,7 +313,7 @@ def _step_batch_impl(fc: FleetConfig, state, actions, *, window: str,
             lambda s, a: _pre_window(fc, s, a))(state, actions)
         kern = _p(rk4_fleet_window_batch,
                   n_ph=cfg.der.n_ph, m=m, n_sub=cfg.n_sub, dt=cfg.dt_ctrl,
-                  block=min(block, n_loc),
+                  block=blk,
                   interpret=jax.default_backend() == "cpu")
         if mesh is not None:
             kern = _shard_mapped_window(kern, mesh, n_args_rank2=2)

@@ -61,6 +61,24 @@ def _where_done(done, a, b):
     return jnp.where(d, a, b)
 
 
+def _effective_block(n: int, block: int, cap: int = 8192) -> int:
+    """Largest legal kernel block for an n-env (per-shard) batch: the
+    configured block when it tiles n; otherwise fall back to one whole-batch
+    block (legal for any n % 128 == 0) up to `cap` rather than silently
+    demoting to the ~20x slower scan path — the round-5 block re-tune
+    (4096→2048) would otherwise have demoted batch sizes like N=3072 that
+    previously ran as a single whole-batch block (review finding, round 5).
+    `cap` bounds the fallback's VMEM footprint: 8192 for the single-DER
+    kernel; the fleet path passes its own VMEM-limited block (a 1536-env
+    whole-batch fleet block at M=16 exceeds the 24 MiB Mosaic cap)."""
+    b = min(block, n)
+    if b and n % b == 0:
+        return b
+    if n % 128 == 0 and n <= cap:
+        return n
+    return b
+
+
 def _use_pallas(window: str, n: int, block: int) -> bool:
     if window == "scan":
         return False
@@ -147,7 +165,8 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
             # an explicit window='scan' is not a fallback — don't cry wolf
             _warn_scan_fallback(n, mesh)
         window, n_loc = "scan", n
-    if _use_pallas(window, n_loc, min(block, n_loc)):
+    blk = _effective_block(n_loc, block)
+    if _use_pallas(window, n_loc, blk):
         from pvderx.ops.window import (
             P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch)
         t, exog, mppt, flag = jax.vmap(
@@ -156,7 +175,7 @@ def _step_batch_impl(cfg: core.EnvConfig, state, actions, *, window: str,
             p_pack = pack_struct(state.der, P_FIELDS)
         kern = partial(
             rk4_window_batch, n_ph=cfg.der.n_ph, n_sub=cfg.n_sub,
-            dt=cfg.dt_ctrl, block=min(block, n_loc),
+            dt=cfg.dt_ctrl, block=blk,
             interpret=jax.default_backend() == "cpu")
         if mesh is not None:
             kern = _shard_mapped_window(kern, mesh, n_args_rank2=2)
@@ -292,7 +311,7 @@ def rollout(cfg: core.EnvConfig, state, obs, policy_fn, n_steps: int, key,
     p_pack = None
     n_loc = _local_envs(state.y.shape[0], mesh)
     if (cfg.integrator == "rk4" and n_loc is not None
-            and _use_pallas(window, n_loc, min(block, n_loc))):
+            and _use_pallas(window, n_loc, _effective_block(n_loc, block))):
         from pvderx.ops.window import P_FIELDS, pack_struct
         p_pack = pack_struct(state.der, P_FIELDS)
 

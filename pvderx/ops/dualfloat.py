@@ -20,9 +20,14 @@ params stay exact f32 (their representation error is the separately-measured
 exactly-split h = dt/n_sub.
 
 Measured on a real v5e (benchmarks/dualfloat_study.py, round 5) — see
-BASELINE.md row 3 and SPEC §6 for the shipped two-tier contract decision.
-Transcendentals use first-order corrections (exp(hi)·(1+lo),
-sin(hi)+lo·cos(hi), Newton-refined sqrt), exact to O(lo²) ≈ 1e-13 relative.
+BASELINE.md row 3 and SPEC §6 for the shipped three-tier contract decision.
+Transcendentals are genuinely DF-grade: range-reduced Taylor/Horner
+polynomials evaluated in DF arithmetic (first-order-corrected hardware
+sin/cos was measured INSUFFICIENT — its 1.7e-8 trig floor amplified to
+1.1e-4/eval through the current-loop gain; see the section comment below),
+plus a Newton-refined sqrt and an exact exponent-bitcast 2^k. Supports
+n_ph ∈ {1, 3} (the 3-phase path measured 3.2e-7 on the preset-50 gate
+scenario — DUALFLOAT.json).
 """
 from __future__ import annotations
 
@@ -114,6 +119,14 @@ class DF:
 
     def __getitem__(self, idx):
         return DF(self.hi[idx], self.lo[idx])
+
+    def reshape(self, *shape):
+        return DF(jnp.reshape(self.hi, *shape), jnp.reshape(self.lo, *shape))
+
+    def astype(self, dtype):
+        # rhs_core._shift_angles calls .astype on the angle table; DF is
+        # f32-pair by construction, so this is the identity
+        return self
 
     def to_f32(self):
         return self.hi + self.lo
@@ -316,9 +329,13 @@ class _DFNamespace:
 
     @staticmethod
     def mean(a, axis=None):
+        if axis != 0:
+            # sum() below supports only the leading (phase/unit) axis; fail
+            # here with the right name instead of from inside sum()
+            raise NotImplementedError("DF mean: axis=0 only (phase axis)")
         a = _lift(a)
-        n = a.shape[axis] if axis is not None else a.hi.size
-        s = _DFNamespace.sum(a, axis=axis)
+        n = a.shape[0]
+        s = _DFNamespace.sum(a, axis=0)
         return s * (1.0 / n) if (n & (n - 1)) == 0 else s / float(n)
 
     @staticmethod
@@ -350,6 +367,12 @@ class _DFNamespace:
 
     @staticmethod
     def asarray(a, dtype=None):
+        if isinstance(a, (list, tuple)):
+            # constant tables (e.g. rhs_core._shift_angles' phase angles):
+            # split each Python float exactly into an (hi, lo) pair
+            his = [_lift(x) for x in a]
+            return DF(jnp.stack([h.hi for h in his]),
+                      jnp.stack([h.lo for h in his]))
         return _lift(a)
 
 

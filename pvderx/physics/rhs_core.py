@@ -24,6 +24,13 @@ from typing import NamedTuple
 TWO_PI_3 = 2.0 * math.pi / 3.0
 
 
+def jnp_int32(xp):
+    """int32 dtype of the backend (the dualfloat namespace wraps f32 pairs
+    but indices stay plain int32)."""
+    import numpy as _np
+    return getattr(xp, "int32", _np.int32)
+
+
 # --------------------------------------------------------------------------
 # complex-pair arithmetic (backend-generic, broadcasts like the underlying xp)
 # --------------------------------------------------------------------------
@@ -120,11 +127,15 @@ def _shift_angles(n_ph: int, xp, dtype=None, bdims: int = 0):
     shape = (n_ph,) + (1,) * bdims
     if n_ph == 1:
         return xp.zeros(shape, dtype=dtype)
-    if xp.__name__ == "jax.numpy":
+    if xp.__name__ in ("jax.numpy", "pvderx.dualfloat"):
         # built from ops, not a materialized constant — required inside Pallas
-        # kernels (captured ndarray constants are rejected) and TPU-safe (2D iota)
+        # kernels (captured ndarray constants are rejected, and Mosaic also
+        # rejects reshaping a materialized (3,) table — measured round 5 on
+        # the df32 path) and TPU-safe (2D iota). The dualfloat namespace
+        # takes the same branch: its where() lifts the angle constants as
+        # exactly-split (hi, lo) pairs.
         import jax as _jax
-        idx = _jax.lax.broadcasted_iota(xp.int32, (3, 1), 0)
+        idx = _jax.lax.broadcasted_iota(jnp_int32(xp), (3, 1), 0)
         ang = xp.where(idx == 1, -TWO_PI_3, xp.where(idx == 2, TWO_PI_3, 0.0))
         ang = ang.reshape(shape) if bdims else ang[:, 0]
         return ang.astype(dtype) if dtype is not None else ang

@@ -66,6 +66,7 @@ _SLOW = {
     "test_fleet_per_unit_ppo_train_step",
     "test_fleet_per_unit_ppo_learns_better_than_uniform",
     "test_df32_env_tier_contract",
+    "test_block_fallback_keeps_kernel_for_odd_batches",
     "test_replay_wraps_circularly",
     "test_sharded_env_step_matches_single_device",
     "test_dqn_anomaly_head_width",

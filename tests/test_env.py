@@ -229,3 +229,27 @@ def test_df32_env_tier_contract():
     st3, y_lo3 = carry
     assert float(jnp.max(jnp.abs(y_lo3))) == 0.0
     assert int(st3.t_step.max()) == 0   # episodes restarted
+
+
+def test_block_fallback_keeps_kernel_for_odd_batches():
+    """Round-5 review regression: after the block default re-tune
+    (4096→2048), batch sizes that are 128-multiples but not block-multiples
+    (e.g. 3072) must still run the fused kernel as one whole-batch block —
+    not silently demote to the ~20x slower scan path or make an explicit
+    window='pallas' raise."""
+    from pvderx.env import core, vector
+
+    cfg3 = make_env_config("10", dtype=jnp.float32, n_sub=48, horizon=20)
+    n = 384   # 3 x 128: not a multiple of any >=1024 block
+    assert vector._effective_block(n, 2048) == n
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    st, obs = jax.jit(lambda ks: jax.vmap(lambda k: core.reset(cfg3, k))(ks))(keys)
+    acts = jnp.zeros((n,), jnp.int32)
+    # explicit pallas must be accepted (interpret kernel on CPU) and agree
+    # with scan
+    o_p = vector._step_batch_impl(cfg3, st, acts, window="pallas",
+                                  block=2048, autoreset=True)
+    o_s = vector._step_batch_impl(cfg3, st, acts, window="scan",
+                                  block=2048, autoreset=True)
+    np.testing.assert_allclose(np.asarray(o_p[1], np.float64),
+                               np.asarray(o_s[1], np.float64), atol=5e-5)
