@@ -161,6 +161,7 @@ def measure_f32_accuracy(preset: str = "10", n_sub: int = 72,
     from pvderx.ops.window import P_FIELDS, U_FIELDS, pack_struct, rk4_window_batch
 
     p = make_params(preset)
+    dt = 1.0 / 60.0
     exogs = gate_scenario_exogs(n_steps)
     traj_truth = scipy_ref.run_trajectory(p, exogs)  # [n_steps+1, n_s] f64
 

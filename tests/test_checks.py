@@ -218,3 +218,17 @@ def test_continuous_plus_anomaly_rejected():
     # voltvar/mppt loops take the corresponding setpoint channel over
     make_env_config("10", continuous=True, voltvar_enable=True,
                     mppt_enable=True)
+
+
+def test_bench_accuracy_path_smoke():
+    """bench.measure_f32_accuracy must at least run end-to-end on the CPU
+    fallback (round-5 regression: a scenario-builder refactor dropped a
+    local and the NameError only surfaced when the full bench ran on the
+    chip — the fast gate never executed this path). Tiny n_steps keeps the
+    LSODA truth cheap."""
+    import bench
+
+    exogs = bench.gate_scenario_exogs(8)
+    assert len(exogs) == 8
+    err = bench.measure_f32_accuracy("10", n_sub=48, n_steps=8)
+    assert err is not None and 0.0 < err < 1e-4
