@@ -23,7 +23,11 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 # Long-running tests (>~12 s on the 2-core CI host), auto-marked `slow` so
-# `pytest -m "not slow"` is a <3 min fast gate (pytest.ini). The fast path
+# `pytest -m "not slow"` is a fast gate targeting <3 min (pytest.ini).
+# Measured band for the SAME test set across one day on this shared VM
+# (round 5): 2:14 best / ~3:20 when the host is slow — the variance is the
+# host, not the tests (all durations inflate uniformly ~35%); budget
+# accordingly before adding fast tests. The fast path
 # keeps the oracle-equivalence core: per-scenario RK4-vs-LSODA trajectory
 # gates, episode obs/returns vs the oracle twin, physics unit tests, env
 # contract (incl. gymnasium check_env), and one representative of each
@@ -67,6 +71,7 @@ _SLOW = {
     "test_fleet_per_unit_ppo_learns_better_than_uniform",
     "test_df32_env_tier_contract",
     "test_block_fallback_keeps_kernel_for_odd_batches",
+    "test_fleet_per_unit_obs_and_divergence",
     "test_replay_wraps_circularly",
     "test_sharded_env_step_matches_single_device",
     "test_dqn_anomaly_head_width",
